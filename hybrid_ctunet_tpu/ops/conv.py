@@ -1,0 +1,158 @@
+"""3D convolution / transposed-convolution with MONAI "SAME" padding semantics.
+
+The reference derives padding from kernel/stride so that spatial dims divide
+exactly by the stride (reference: networks/resnet.py:52-80 — ``padding =
+(k - s + 1) // 2`` and transposed ``output_padding = 2p + s - k``). We
+reproduce that arithmetic exactly, but in channels-last NDHWC layout, the
+native layout for TPU convolutions.
+
+Every transposed conv in the reference uses ``kernel_size == stride`` (the
+upsample blocks pass ``upsample_kernel_size`` as both), which degenerates to a
+block-expansion: each input voxel maps to an s0*s1*s2 output block via a
+single matmul. We exploit that: the k==s case is lowered to one einsum on the
+MXU plus a pixel-shuffle reshape instead of a strided conv_transpose — the
+same math, far friendlier to the TPU.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _triple(v) -> Tuple[int, int, int]:
+    if isinstance(v, int):
+        return (v, v, v)
+    t = tuple(int(x) for x in v)
+    if len(t) == 1:
+        return (t[0], t[0], t[0])
+    assert len(t) == 3, f"expected 3 spatial dims, got {v}"
+    return t  # type: ignore[return-value]
+
+
+def same_padding(kernel_size, stride) -> Tuple[int, int, int]:
+    """MONAI's conv padding rule: ``(k - s + 1) // 2`` per axis.
+
+    Mirrors reference networks/resnet.py:52-64 (``get_padding``).
+    """
+    k, s = _triple(kernel_size), _triple(stride)
+    pads = []
+    for ki, si in zip(k, s):
+        p = (ki - si + 1) / 2
+        if p < 0:
+            raise ValueError(
+                f"negative SAME padding for kernel={ki}, stride={si}; "
+                "change the kernel size and/or stride"
+            )
+        pads.append(int(p))
+    return tuple(pads)  # type: ignore[return-value]
+
+
+def transpose_output_padding(kernel_size, stride, padding) -> Tuple[int, int, int]:
+    """MONAI's transposed-conv output padding: ``2p + s - k`` per axis.
+
+    Mirrors reference networks/resnet.py:66-80 (``get_output_padding``).
+    """
+    k, s, p = _triple(kernel_size), _triple(stride), _triple(padding)
+    out = []
+    for ki, si, pi in zip(k, s, p):
+        op = 2 * pi + si - ki
+        if op < 0:
+            raise ValueError(
+                f"negative output padding for kernel={ki}, stride={si}, padding={pi}"
+            )
+        out.append(int(op))
+    return tuple(out)  # type: ignore[return-value]
+
+
+_DN = lax.conv_dimension_numbers  # cached builder
+
+
+def conv3d_same(
+    x: jax.Array,
+    w: jax.Array,
+    stride: Sequence[int] | int = 1,
+    *,
+    preferred_dtype=jnp.float32,
+) -> jax.Array:
+    """Channels-last 3D conv with the reference SAME-padding rule.
+
+    Args:
+      x: (B, X, Y, Z, Cin)
+      w: (kx, ky, kz, Cin, Cout)  — DHWIO
+      stride: int or per-axis triple.
+
+    Output spatial size per axis: floor((in + 2p - k)/s) + 1 with
+    p = (k - s + 1)//2, identical to the reference's torch Conv3d.
+    """
+    s = _triple(stride)
+    k = w.shape[:3]
+    p = same_padding(k, s)
+    dn = _DN(x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=s,
+        padding=[(pi, pi) for pi in p],
+        dimension_numbers=dn,
+        preferred_element_type=preferred_dtype,
+    )
+
+
+def conv_transpose3d_same(
+    x: jax.Array,
+    w: jax.Array,
+    stride: Sequence[int] | int,
+    *,
+    preferred_dtype=jnp.float32,
+) -> jax.Array:
+    """Channels-last transposed 3D conv reproducing torch ConvTranspose3d with
+    MONAI's (padding, output_padding) rule; output spatial = input * stride.
+
+    Args:
+      x: (B, X, Y, Z, Cin)
+      w: (kx, ky, kz, Cin, Cout) — torch ConvTranspose weight (Cin, Cout, k..)
+         transposed into DHW-IO layout. The kernel is applied with torch
+         transposed-conv semantics (gradient-of-conv, i.e. flipped taps).
+
+    Fast path: when ``kernel == stride`` (every decoder upsample in the
+    reference: hybrid_CTUNet.py:176-186 etc.), the op is a per-voxel matmul
+    Cin -> prod(k)*Cout followed by block interleave — one MXU einsum.
+    """
+    s = _triple(stride)
+    k = w.shape[:3]
+    B, X, Y, Z, Cin = x.shape
+    Cout = w.shape[-1]
+
+    if tuple(k) == tuple(s):
+        # out[b, x*s0+d0, y*s1+d1, z*s2+d2, co] = sum_ci x[b,x,y,z,ci] * w[d0,d1,d2,ci,co]
+        w2 = w.reshape(k[0] * k[1] * k[2] * Cin, Cout).reshape(k[0], k[1], k[2], Cin, Cout)
+        y = jnp.einsum(
+            "bxyzc,ijkco->bxyzijko",
+            x,
+            w2,
+            preferred_element_type=preferred_dtype,
+        )
+        # interleave blocks into space: (B,X,Y,Z,k0,k1,k2,Cout) -> (B,X*k0,Y*k1,Z*k2,Cout)
+        y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+        return y.reshape(B, X * k[0], Y * k[1], Z * k[2], Cout)
+
+    # General case: lax.conv_transpose with torch-equivalent explicit padding.
+    # transpose_kernel=True expects the kernel in the layout of the matching
+    # *forward* conv (Cout->Cin), so swap the channel axes of our (.., Cin, Cout).
+    p = same_padding(k, s)
+    op = transpose_output_padding(k, s, p)
+    pads = [(ki - 1 - pi, ki - 1 - pi + opi) for ki, pi, opi in zip(k, p, op)]
+    w_fwd = jnp.swapaxes(w, -1, -2)
+    dn = _DN(x.shape, w_fwd.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    return lax.conv_transpose(
+        x,
+        w_fwd,
+        strides=s,
+        padding=pads,
+        dimension_numbers=dn,
+        transpose_kernel=True,
+        preferred_element_type=preferred_dtype,
+    )

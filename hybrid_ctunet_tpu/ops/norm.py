@@ -1,0 +1,37 @@
+"""Normalization ops (channels-last).
+
+The reference uses affine-free InstanceNorm3d (MONAI ``Norm.INSTANCE`` default:
+affine=False, eps=1e-5, no running stats) in every conv path and torch
+LayerNorm (eps=1e-5, elementwise affine) in every attention path
+(reference: networks/resnet.py:97, networks/hybrid_CTUNet.py:456,630).
+
+Instance norm over a 96^3 volume at batch 1 is reduction-bound; we compute it
+in fp32 regardless of the activation dtype so bf16 training stays stable, and
+let XLA fuse the normalize into neighbouring elementwise ops.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Affine-free instance norm: normalize each (batch, channel) over space.
+
+    x: (B, X, Y, Z, C) — reduces over the three spatial axes.
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return y.astype(x.dtype)
+
+
+def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Torch-style LayerNorm over the last axis with elementwise affine."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)

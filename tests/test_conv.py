@@ -1,0 +1,104 @@
+"""SAME-padding conv/transposed-conv parity vs torch (the reference's kernels
+are torch Conv3d/ConvTranspose3d with MONAI padding math, resnet.py:17-80)."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from hybrid_ctunet_tpu.ops.conv import (
+    conv3d_same,
+    conv_transpose3d_same,
+    same_padding,
+    transpose_output_padding,
+)
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+@pytest.mark.parametrize(
+    "kernel,stride",
+    [
+        (3, 1),
+        (3, (2, 2, 2)),
+        (3, (2, 2, 1)),
+        ((7, 7, 7), (2, 2, 1)),  # resnet stem
+        (1, 1),
+        (1, (2, 2, 2)),  # bottleneck projection shortcut
+        (1, (2, 2, 1)),
+    ],
+)
+def test_conv3d_matches_torch(rng, kernel, stride):
+    k = (kernel,) * 3 if isinstance(kernel, int) else kernel
+    s = (stride,) * 3 if isinstance(stride, int) else stride
+    cin, cout = 3, 5
+    x = rng.standard_normal((2, 12, 12, 8, cin)).astype(np.float32)
+    w = (rng.standard_normal((*k, cin, cout)) * 0.1).astype(np.float32)
+
+    y = _np(conv3d_same(jnp.asarray(x), jnp.asarray(w), s))
+
+    xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+    wt = torch.from_numpy(w).permute(4, 3, 0, 1, 2)  # (cout, cin, kx, ky, kz)
+    p = same_padding(k, s)
+    yt = F.conv3d(xt, wt, stride=s, padding=p).permute(0, 2, 3, 4, 1).numpy()
+
+    np.testing.assert_allclose(y, yt, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("stride", [(2, 2, 2), (2, 2, 1), (1, 1, 1)])
+def test_conv_transpose_kernel_eq_stride_matches_torch(rng, stride):
+    """Every reference decoder upsample has kernel == stride
+    (hybrid_CTUNet.py:176-186)."""
+    k = stride
+    cin, cout = 6, 4
+    x = rng.standard_normal((2, 6, 6, 12, cin)).astype(np.float32)
+    w = (rng.standard_normal((*k, cin, cout)) * 0.1).astype(np.float32)
+
+    y = _np(conv_transpose3d_same(jnp.asarray(x), jnp.asarray(w), stride))
+
+    xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+    wt = torch.from_numpy(w).permute(3, 4, 0, 1, 2)  # (cin, cout, k...)
+    p = same_padding(k, stride)
+    op = transpose_output_padding(k, stride, p)
+    yt = (
+        F.conv_transpose3d(xt, wt, stride=stride, padding=p, output_padding=op)
+        .permute(0, 2, 3, 4, 1)
+        .numpy()
+    )
+    assert y.shape == yt.shape
+    np.testing.assert_allclose(y, yt, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kernel,stride", [(3, (2, 2, 2)), (3, (2, 2, 1)), ((4, 4, 4), (2, 2, 2))])
+def test_conv_transpose_general_matches_torch(rng, kernel, stride):
+    k = (kernel,) * 3 if isinstance(kernel, int) else kernel
+    cin, cout = 4, 3
+    x = rng.standard_normal((1, 5, 5, 6, cin)).astype(np.float32)
+    w = (rng.standard_normal((*k, cin, cout)) * 0.1).astype(np.float32)
+
+    y = _np(conv_transpose3d_same(jnp.asarray(x), jnp.asarray(w), stride))
+
+    xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+    wt = torch.from_numpy(w).permute(3, 4, 0, 1, 2)
+    p = same_padding(k, stride)
+    op = transpose_output_padding(k, stride, p)
+    yt = (
+        F.conv_transpose3d(xt, wt, stride=stride, padding=p, output_padding=op)
+        .permute(0, 2, 3, 4, 1)
+        .numpy()
+    )
+    assert y.shape == yt.shape
+    np.testing.assert_allclose(y, yt, rtol=1e-4, atol=1e-4)
+
+
+def test_padding_math_matches_reference_rule():
+    # resnet.py:52-80: p=(k-s+1)//2, op=2p+s-k
+    assert same_padding(3, 1) == (1, 1, 1)
+    assert same_padding((7, 7, 7), (2, 2, 1)) == (3, 3, 3)
+    assert same_padding(1, (2, 2, 2)) == (0, 0, 0)
+    assert transpose_output_padding((2, 2, 2), (2, 2, 2), (0, 0, 0)) == (0, 0, 0)
+    with pytest.raises(ValueError):
+        same_padding(1, 4)  # negative padding must raise like the reference
