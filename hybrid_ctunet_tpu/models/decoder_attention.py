@@ -1,0 +1,53 @@
+"""TUNet conv-free attention decoder (reference UpAttentionBlock,
+hybrid_CTUNet.py:528-591).
+
+Four stages walk the dim chain (hidden, 512, 256, 128, 64). Stages 0-2 run
+residual block-window attention + FFN, then residual grid-window attention +
+FFN (window 6, 3D rel-pos bias), then pixel-shuffle upsampling; stage 3
+(full-res, window attention would be 96^3-global) runs two residual FFNs +
+pixel shuffle. Returns the 5-level feature pyramid
+[hidden@6x6x12, 512@12x12x24, 256@24x24x48, 128@48x48x96, 64@96x96x96].
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import FeedForward, MultiAxisWindowAttention, PixelShuffleLinear
+
+
+class UpAttentionBlock(nn.Module):
+    in_channels: int = 768
+    dims: Tuple[int, ...] = (128, 256, 512, 1024)  # resnet stage dims; only ordering is used
+    ds_stride: Tuple[Tuple[int, int, int], ...] = ((2, 2, 1), (2, 2, 2), (2, 2, 2), (2, 2, 2))
+    window: int = 6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # Reference dim chain: (in_channels, *dims[::-1][1:], 64) with
+        # dims=(128,256,512,1024) -> (768, 512, 256, 128, 64)  (hybrid_CTUNet.py:546)
+        chain = (self.in_channels, *[d for d in self.dims[::-1][1:]], 64)
+        factors = self.ds_stride[::-1]  # ((2,2,2),(2,2,2),(2,2,2),(2,2,1))
+
+        features = [x]
+        for ind, (dim_in, dim_out) in enumerate(zip(chain[:-1], chain[1:])):
+            if ind <= 2:
+                x = x + MultiAxisWindowAttention(
+                    window=self.window, grid=False, dtype=self.dtype, name=f"stage{ind}_block_attn"
+                )(x)
+                x = x + FeedForward(dtype=self.dtype, name=f"stage{ind}_block_ff")(x)
+                x = x + MultiAxisWindowAttention(
+                    window=self.window, grid=True, dtype=self.dtype, name=f"stage{ind}_grid_attn"
+                )(x)
+                x = x + FeedForward(dtype=self.dtype, name=f"stage{ind}_grid_ff")(x)
+            else:
+                x = x + FeedForward(dtype=self.dtype, name=f"stage{ind}_ff1")(x)
+                x = x + FeedForward(dtype=self.dtype, name=f"stage{ind}_ff2")(x)
+            x = PixelShuffleLinear(
+                tuple(factors[ind]), dim_out, dtype=self.dtype, name=f"stage{ind}_shuffle"
+            )(x)
+            features.append(x)
+        return features

@@ -1,0 +1,401 @@
+"""Parameterized layers (flax.linen), channels-last NDHWC.
+
+These re-design the reference's torch modules TPU-first:
+
+- convs carry MONAI SAME-padding arithmetic (reference networks/resnet.py:17-80)
+  and run through XLA's native NDHWC conv path;
+- every decoder transposed conv has kernel == stride and lowers to one MXU
+  einsum + block interleave (see ops/conv.py);
+- windowed multi-axis attention operates directly on the NDHWC tensor with
+  static reshapes instead of einops-layer rearranges
+  (reference networks/hybrid_CTUNet.py:442-511, 554-583);
+- the binary cross-weight "pixelweight" fusion is an O(N·d) per-voxel op
+  (reference networks/hybrid_CTUNet.py:622-669).
+
+All params are fp32; ``dtype`` selects the activation/compute dtype
+(bf16 for training — the TPU replacement for the reference's AMP).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.act import gelu_exact, leaky_relu
+from ..ops.conv import conv3d_same, conv_transpose3d_same
+from ..ops.norm import instance_norm, layer_norm
+
+
+def _triple(v) -> Tuple[int, int, int]:
+    return (v, v, v) if isinstance(v, int) else tuple(int(x) for x in v)  # type: ignore
+
+
+class Conv3d(nn.Module):
+    """SAME-padded 3D conv (bias optional; the reference's convs are bias-free
+    except the 1x1x1 output heads)."""
+
+    features: int
+    kernel_size: Sequence[int] | int = 3
+    stride: Sequence[int] | int = 1
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = _triple(self.kernel_size)
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+            (*k, cin, self.features),
+            jnp.float32,
+        )
+        y = conv3d_same(x.astype(self.dtype), w.astype(self.dtype), self.stride,
+                        preferred_dtype=jnp.float32)
+        y = y.astype(self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class ConvTranspose3d(nn.Module):
+    """SAME transposed conv; all reference uses have kernel == stride
+    (hybrid_CTUNet.py:176-186 etc.) and hit the einsum fast path."""
+
+    features: int
+    kernel_size: Sequence[int] | int
+    stride: Sequence[int] | int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = _triple(self.kernel_size)
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+            (*k, cin, self.features),
+            jnp.float32,
+        )
+        y = conv_transpose3d_same(
+            x.astype(self.dtype), w.astype(self.dtype), self.stride, preferred_dtype=jnp.float32
+        )
+        return y.astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    """Torch-parity LayerNorm (eps 1e-5, affine, fp32 internals)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        w = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return layer_norm(x, w, b, self.eps)
+
+
+class Dense(nn.Module):
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(), (cin, self.features), jnp.float32)
+        y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype),
+                    preferred_element_type=jnp.float32).astype(self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class FeedForward(nn.Module):
+    """LN -> Linear(mult*dim) -> GELU -> Linear(dim)
+    (reference hybrid_CTUNet.py:513-526 / vit.py:31-44)."""
+
+    mult: float = 4.0
+    hidden_dim: int | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = self.hidden_dim if self.hidden_dim is not None else int(dim * self.mult)
+        y = LayerNorm(name="norm")(x)
+        y = Dense(inner, dtype=self.dtype, name="fc1")(y)
+        y = gelu_exact(y)
+        y = Dense(dim, dtype=self.dtype, name="fc2")(y)
+        return y
+
+
+def _rel_pos_indices(window: int) -> np.ndarray:
+    """3D relative-position index table for a (w,w,w) window, token order
+    (h, w, f) flattened — reference hybrid_CTUNet.py:472-479."""
+    pos = np.arange(window)
+    grid = np.stack(np.meshgrid(pos, pos, pos, indexing="ij"))  # (3, w, w, w)
+    grid = grid.reshape(3, -1).T  # (w^3, 3) in (h w f) order
+    rel = grid[:, None, :] - grid[None, :, :] + window - 1
+    strides = np.array([(2 * window - 1) ** 2, 2 * window - 1, 1])
+    return (rel * strides).sum(-1).astype(np.int32)  # (w^3, w^3)
+
+
+class MultiAxisWindowAttention(nn.Module):
+    """MaxViT-style windowed MHSA over w^3 windows with 3D relative-position
+    bias (reference MultiAxisAttention, hybrid_CTUNet.py:442-511).
+
+    ``grid=False``: block attention — partition space into contiguous w^3
+    windows. ``grid=True``: grid attention — attend across windows at fixed
+    intra-window offset (the reference's '(h1 h)' rearrange,
+    hybrid_CTUNet.py:564). Operates on NDHWC directly.
+    """
+
+    dim_head: int = 32
+    window: int = 6
+    grid: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, X, Y, Z, C = x.shape
+        w = self.window
+        assert X % w == 0 and Y % w == 0 and Z % w == 0, (
+            f"spatial dims {(X, Y, Z)} must be divisible by window {w}"
+        )
+        heads = C // self.dim_head
+        scale = self.dim_head ** -0.5
+        nx, ny, nz = X // w, Y // w, Z // w
+
+        h = LayerNorm(name="norm")(x)
+        if not self.grid:
+            # (B, nx, w, ny, w, nz, w, C) -> (B*nwin, w^3, C); token order (h w f)
+            h = h.reshape(B, nx, w, ny, w, nz, w, C)
+            h = h.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        else:
+            # '(h1 h)' split: outer factor w indexes the token, inner the window
+            h = h.reshape(B, w, nx, w, ny, w, nz, C)
+            h = h.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+        nwin = nx * ny * nz
+        tokens = w * w * w
+        h = h.reshape(B * nwin, tokens, C)
+
+        qkv = Dense(3 * C, use_bias=False, dtype=self.dtype, name="to_qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):
+            return t.reshape(B * nwin, tokens, heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q) * scale, split_heads(k), split_heads(v)
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
+
+        bias_table = self.param(
+            "rel_pos_bias",
+            nn.initializers.normal(1.0),
+            ((2 * w - 1) ** 3, heads),
+            jnp.float32,
+        )
+        idx = jnp.asarray(_rel_pos_indices(w))
+        bias = bias_table[idx]  # (T, T, heads)
+        sim = sim + bias.transpose(2, 0, 1)[None]
+
+        attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B * nwin, tokens, C)
+        out = Dense(C, use_bias=False, dtype=self.dtype, name="to_out")(out)
+
+        out = out.reshape(B, nx, ny, nz, w, w, w, C)
+        if not self.grid:
+            out = out.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+        else:
+            out = out.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+        return out.reshape(B, X, Y, Z, C)
+
+
+class PixelShuffleLinear(nn.Module):
+    """Anisotropic 3D pixel shuffle + per-voxel linear
+    (reference PixelShuffle, hybrid_CTUNet.py:388-432).
+
+    Channel dim splits as (C', f0, f1, f2) with C' slowest; factor offsets
+    interleave into space; then Linear(C' -> features).
+    """
+
+    factor: Tuple[int, int, int]
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, X, Y, Z, C = x.shape
+        f0, f1, f2 = self.factor
+        div = f0 * f1 * f2
+        if C % div != 0:
+            raise ValueError(f"channels {C} not divisible by prod(factor) {div}")
+        cp = C // div
+        x = x.reshape(B, X, Y, Z, cp, f0, f1, f2)
+        x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)  # (B, X, f0, Y, f1, Z, f2, C')
+        x = x.reshape(B, X * f0, Y * f1, Z * f2, cp)
+        return Dense(self.features, dtype=self.dtype, name="to_out")(x)
+
+
+class PixelweightFusion(nn.Module):
+    """Binary cross-weight attention fusing two same-shape streams
+    (reference pixelweight_attention, hybrid_CTUNet.py:622-669).
+
+    Per voxel and head: scalar cross-dots <q2,k1> and <q1,k2> -> 2-way
+    softmax -> weighted sum of v1/v2 -> output projection. O(N*d): pure
+    VPU work plus four matmuls; an ideal Pallas fusion target.
+    """
+
+    dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        assert x1.shape == x2.shape, (x1.shape, x2.shape)
+        shape = x1.shape
+        C = shape[-1]
+        heads = C // self.dim_head
+        scale = self.dim_head ** -0.5
+
+        h1 = LayerNorm(name="norm1")(x1)
+        h2 = LayerNorm(name="norm2")(x2)
+        qkv1 = Dense(3 * C, use_bias=False, dtype=self.dtype, name="to_qkv1")(h1)
+        qkv2 = Dense(3 * C, use_bias=False, dtype=self.dtype, name="to_qkv2")(h2)
+
+        def heads_split(t):
+            return t.reshape(*shape[:-1], heads, self.dim_head)
+
+        q1, k1, v1 = (heads_split(t) for t in jnp.split(qkv1, 3, axis=-1))
+        q2, k2, v2 = (heads_split(t) for t in jnp.split(qkv2, 3, axis=-1))
+
+        d1 = jnp.sum((q2 * k1).astype(jnp.float32), axis=-1) * scale
+        d2 = jnp.sum((q1 * k2).astype(jnp.float32), axis=-1) * scale
+        m = jnp.maximum(d1, d2)
+        e1 = jnp.exp(d1 - m)
+        e2 = jnp.exp(d2 - m)
+        denom = e1 + e2
+        w1 = (e1 / denom).astype(self.dtype)[..., None]
+        w2 = (e2 / denom).astype(self.dtype)[..., None]
+
+        out = (w1 * v1 + w2 * v2).reshape(*shape[:-1], C)
+        return Dense(C, use_bias=False, dtype=self.dtype, name="to_out")(out)
+
+
+class ResBlock(nn.Module):
+    """2-conv residual block with InstanceNorm/LeakyReLU(0.01) and a 1x1x1
+    projection shortcut when shape changes (reference hybrid_CTUNet.py:29-105)."""
+
+    features: int
+    kernel_size: Sequence[int] | int = 3
+    stride: Sequence[int] | int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        stride = _triple(self.stride)
+        needs_proj = cin != self.features or any(s != 1 for s in stride)
+
+        out = Conv3d(self.features, self.kernel_size, self.stride, dtype=self.dtype, name="conv1")(x)
+        out = instance_norm(out)
+        out = leaky_relu(out)
+        out = Conv3d(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv2")(out)
+        out = instance_norm(out)
+
+        residual = x
+        if needs_proj:
+            residual = Conv3d(self.features, 1, self.stride, dtype=self.dtype, name="conv3")(x)
+            residual = instance_norm(residual)
+        return leaky_relu(out + residual)
+
+
+class UpCatConvBlock(nn.Module):
+    """Transposed-conv upsample -> concat skip -> ResBlock
+    (reference UpCatConvBlock, hybrid_CTUNet.py:148-201)."""
+
+    features: int
+    upsample_stride: Sequence[int]
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip):
+        out = ConvTranspose3d(
+            self.features, self.upsample_stride, self.upsample_stride, dtype=self.dtype,
+            name="transp_conv",
+        )(x)
+        out = jnp.concatenate([out, skip.astype(out.dtype)], axis=-1)
+        return ResBlock(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block")(out)
+
+
+class UpConvBlock(nn.Module):
+    """Transposed-conv upsample -> ResBlock, no skip
+    (reference UpConvBlock, hybrid_CTUNet.py:203-255)."""
+
+    features: int
+    upsample_stride: Sequence[int]
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = ConvTranspose3d(
+            self.features, self.upsample_stride, self.upsample_stride, dtype=self.dtype,
+            name="transp_conv",
+        )(x)
+        return ResBlock(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block")(out)
+
+
+class Up2FusionBlock(nn.Module):
+    """CTUNet fusion decoder stage, the reference's active "fusion2" forward
+    (hybrid_CTUNet.py:329-341): pixelweight-fuse(skip_conv, skip_vit) ->
+    ResBlock; transp-conv(inp); pixelweight-fuse(out, skip) -> ResBlock."""
+
+    features: int
+    upsample_stride: Sequence[int]
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip_conv, skip_vit):
+        skip = PixelweightFusion(dtype=self.dtype, name="pixelweight_attention1")(skip_conv, skip_vit)
+        skip = ResBlock(self.features, self.kernel_size, 1, dtype=self.dtype, name="up_addconv_block1")(skip)
+
+        out = ConvTranspose3d(
+            self.features, self.upsample_stride, self.upsample_stride, dtype=self.dtype,
+            name="transp_conv",
+        )(x)
+        out = PixelweightFusion(dtype=self.dtype, name="pixelweight_attention2")(out, skip)
+        return ResBlock(self.features, self.kernel_size, 1, dtype=self.dtype, name="up_addconv_block2")(out)
+
+
+class CatConvBlock(nn.Module):
+    """concat(x, skip) -> ResBlock (reference hybrid_CTUNet.py:593-620)."""
+
+    features: int
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip):
+        out = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        return ResBlock(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block")(out)
+
+
+class UnetOutHead(nn.Module):
+    """1x1x1 conv head with bias (MONAI UnetOutBlock semantics,
+    reference hybrid_CTUNet.py:781-783)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv3d(self.features, 1, 1, use_bias=True, dtype=self.dtype, name="conv")(x)

@@ -1,0 +1,102 @@
+"""3D bottleneck ResNet encoder (channels-last, InstanceNorm, LeakyReLU 0.01).
+
+Capability match for the reference encoder (networks/resnet.py:82-245):
+- non-standard layer counts: 50=[3,4,6,3], 101=[8,9,13,3], 152=[8,9,30,3],
+  200=[8,25,30,3];
+- block_inplanes [32,64,128,256] with expansion 4 -> stage widths
+  [128,256,512,1024];
+- 7x7x7 stem at anisotropic stride DS_stride[0]=(2,2,1), stem width 64,
+  no max pool (reference no_max_pool=True default);
+- stage strides DS_stride[1:]; 1x1x1 projection ('B') shortcuts;
+- returns all four stage feature maps.
+
+At 96^3 input the stage outputs are 128@48x48x96, 256@24x24x48,
+512@12x12x24, 1024@6x6x12 (SURVEY.md §2.2, verified).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.act import leaky_relu
+from ..ops.norm import instance_norm
+from .layers import Conv3d
+
+LAYER_COUNTS = {
+    50: (3, 4, 6, 3),
+    101: (8, 9, 13, 3),
+    152: (8, 9, 30, 3),
+    200: (8, 25, 30, 3),
+}
+
+BLOCK_INPLANES = (32, 64, 128, 256)
+EXPANSION = 4
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride) -> 1x1(x4) bottleneck with IN + LeakyReLU
+    (reference resnet.py:82-126)."""
+
+    planes: int
+    stride: Sequence[int] | int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        cout = self.planes * EXPANSION
+        stride = (self.stride,) * 3 if isinstance(self.stride, int) else tuple(self.stride)
+
+        out = Conv3d(self.planes, 1, 1, dtype=self.dtype, name="conv1")(x)
+        out = leaky_relu(instance_norm(out))
+        out = Conv3d(self.planes, 3, stride, dtype=self.dtype, name="conv2")(out)
+        out = leaky_relu(instance_norm(out))
+        out = Conv3d(cout, 1, 1, dtype=self.dtype, name="conv3")(out)
+        out = instance_norm(out)
+
+        residual = x
+        if any(s != 1 for s in stride) or cin != cout:
+            residual = Conv3d(cout, 1, stride, dtype=self.dtype, name="downsample_conv")(x)
+            residual = instance_norm(residual)
+        return leaky_relu(out + residual)
+
+
+class ResNet3D(nn.Module):
+    """Four-stage bottleneck encoder returning the stage pyramid."""
+
+    model_depth: int = 50
+    ds_stride: Tuple[Tuple[int, int, int], ...] = ((2, 2, 1), (2, 2, 2), (2, 2, 2), (2, 2, 2))
+    conv1_t_size: int = 7
+    in_stem: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.model_depth not in LAYER_COUNTS:
+            raise ValueError(
+                f"model_depth must be one of {sorted(LAYER_COUNTS)}, got {self.model_depth}"
+            )
+        layers = LAYER_COUNTS[self.model_depth]
+
+        h = Conv3d(
+            self.in_stem, (7, 7, self.conv1_t_size), self.ds_stride[0], dtype=self.dtype,
+            name="conv1",
+        )(x)
+        h = leaky_relu(instance_norm(h))
+
+        features = []
+        stage_strides = (1, self.ds_stride[1], self.ds_stride[2], self.ds_stride[3])
+        for stage, (planes, blocks, stride) in enumerate(
+            zip(BLOCK_INPLANES, layers, stage_strides)
+        ):
+            for b in range(blocks):
+                h = Bottleneck(
+                    planes,
+                    stride if b == 0 else 1,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_block{b}",
+                )(h)
+            features.append(h)
+        return features

@@ -1,0 +1,115 @@
+"""3D ViT encoder: volumetric patch tokenization, learned position embedding,
+pre-norm transformer blocks (capability match for reference networks/vit.py).
+
+Reference behaviors kept:
+- patch grid (X/16, Y/16, Z/pf) with token order (h w f) and patch content
+  order (p1 p2 pf c) (vit.py:114-119);
+- LN -> Linear -> LN patch embedding; no CLS token; learned pos-embedding
+  of shape (1, N, dim) initialized ~N(0,1) (vit.py:121);
+- pre-norm blocks: x = attn(x) + x; x = ff(x) + x — the reference's *active*
+  forward bypasses DropPath (vit.py:93-96), so none is built here;
+- MHSA: heads=12, dim_head=64, qkv bias-free, projecting out with bias
+  (vit.py:46-78).
+
+At 96^3 / pf=8: 432 tokens, patch_dim 2048. The full-sequence attention is a
+432x432 matmul — MXU-friendly as-is; windowing is unnecessary at this size.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import Dense, FeedForward, LayerNorm
+
+
+class ViTAttention(nn.Module):
+    heads: int = 12
+    dim_head: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        inner = self.heads * self.dim_head
+        scale = self.dim_head ** -0.5
+
+        h = LayerNorm(name="norm")(x)
+        qkv = Dense(3 * inner, use_bias=False, dtype=self.dtype, name="to_qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split(t):
+            return t.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        sim = jnp.einsum("bhid,bhjd->bhij", q * scale, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, N, inner)
+        if not (self.heads == 1 and self.dim_head == C):
+            out = Dense(C, dtype=self.dtype, name="to_out")(out)
+        return out
+
+
+class TransformerBlock(nn.Module):
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = ViTAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn")(x) + x
+        x = FeedForward(hidden_dim=self.mlp_dim, dtype=self.dtype, name="ff")(x) + x
+        return x
+
+
+class ViT3D(nn.Module):
+    """Volumetric ViT over channels-last input (B, X, Y, Z, C)."""
+
+    image_size: Tuple[int, int] = (96, 96)
+    frames: int = 96
+    image_patch_size: int = 16
+    frame_patch_size: int = 8
+    dim: int = 768
+    depth: int = 12
+    heads: int = 12
+    dim_head: int = 64
+    mlp_dim: int = 3072
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        B, X, Y, Z, C = x.shape
+        p1 = p2 = self.image_patch_size
+        pf = self.frame_patch_size
+        if X % p1 or Y % p2 or Z % pf:
+            raise ValueError(
+                f"volume {(X, Y, Z)} not divisible by patch size {(p1, p2, pf)}"
+            )
+        gh, gw, gf = X // p1, Y // p2, Z // pf
+        patch_dim = C * p1 * p2 * pf
+
+        # (h p1)(w p2)(f pf) c -> tokens (h w f) x features (p1 p2 pf c)
+        t = x.reshape(B, gh, p1, gw, p2, gf, pf, C)
+        t = t.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(B, gh * gw * gf, patch_dim)
+
+        t = LayerNorm(name="patch_norm1")(t.astype(self.dtype))
+        t = Dense(self.dim, dtype=self.dtype, name="patch_proj")(t)
+        t = LayerNorm(name="patch_norm2")(t)
+
+        pos = self.param(
+            "pos_embedding", nn.initializers.normal(1.0), (1, gh * gw * gf, self.dim), jnp.float32
+        )
+        t = t + pos.astype(self.dtype)
+        if self.dropout > 0.0:
+            t = nn.Dropout(self.dropout)(t, deterministic=deterministic)
+
+        for i in range(self.depth):
+            t = TransformerBlock(
+                self.heads, self.dim_head, self.mlp_dim, dtype=self.dtype, name=f"block{i}"
+            )(t)
+        return t  # (B, N, dim), token order (h w f)

@@ -1,0 +1,158 @@
+"""Golden-output parity: instantiate the *reference* torch modules (read-only
+at /root/reference, via tests/monai_stub.py), transfer their weights into our
+flax models with the framework's torch importer, and compare forward outputs
+numerically. This is the deterministic half of the Dice-within-0.002 parity
+contract (SURVEY.md §7 hard part 5)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(__file__))
+import monai_stub
+
+from hybrid_ctunet_tpu.utils import torch_import as ti
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(monai_stub.REFERENCE_PATH), reason="reference checkout unavailable"
+)
+
+monai_stub.install()
+from networks.hybrid_CTUNet import (  # noqa: E402
+    CTUNet as RefCTUNet,
+    MultiAxisAttention as RefMAA,
+    PixelShuffle as RefPixelShuffle,
+    pixelweight_attention as RefPixelweight,
+)
+from networks.hybrid_CTUNet import CUNet as RefCUNet  # noqa: E402
+
+torch.manual_seed(0)
+
+
+def _sd(module, prefix=None):
+    sd = {k: v.detach().numpy() for k, v in module.state_dict().items()}
+    if prefix:
+        sd = {f"{prefix}.{k}": v for k, v in sd.items()}
+    return sd
+
+
+def _ncdhw(x_bxyzc):
+    return torch.from_numpy(np.ascontiguousarray(np.moveaxis(x_bxyzc, -1, 1)))
+
+
+def _to_channels_last(t):
+    return np.moveaxis(t.detach().numpy(), 1, -1)
+
+
+def test_pixelweight_fusion_golden(rng):
+    from hybrid_ctunet_tpu.models.layers import PixelweightFusion
+
+    dim = 64
+    ref = RefPixelweight(dim).eval()
+    x1 = rng.standard_normal((2, 6, 5, 4, dim)).astype(np.float32)
+    x2 = rng.standard_normal((2, 6, 5, 4, dim)).astype(np.float32)
+    with torch.no_grad():
+        want = _to_channels_last(ref(_ncdhw(x1), _ncdhw(x2)))
+
+    tree = {}
+    ti._pixelweight(tree, "pw", _sd(ref, "m"), "m")
+    params = tree["pw"]
+    ours = PixelweightFusion(name="pw").apply(
+        {"params": params}, jnp.asarray(x1), jnp.asarray(x2)
+    )
+    np.testing.assert_allclose(np.asarray(ours), want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("grid", [False, True])
+def test_window_attention_golden(rng, grid):
+    from hybrid_ctunet_tpu.models.layers import MultiAxisWindowAttention
+
+    dim, w = 64, 6
+    ref = RefMAA(dim=dim, dim_head=32, window_size=w).eval()
+    x = rng.standard_normal((1, 12, 12, 12, dim)).astype(np.float32)
+
+    xt = torch.from_numpy(x)
+    if not grid:
+        # reference block rearrange: 'b (h h1) (w w1) (f f1) c -> b h w f h1 w1 f1 c'
+        r = xt.reshape(1, 2, w, 2, w, 2, w, dim).permute(0, 1, 3, 5, 2, 4, 6, 7)
+    else:
+        # grid rearrange: 'b (h1 h) (w1 w) (f1 f) c -> b h w f h1 w1 f1 c'
+        r = xt.reshape(1, w, 2, w, 2, w, 2, dim).permute(0, 2, 4, 6, 1, 3, 5, 7)
+    with torch.no_grad():
+        out = ref(r.contiguous())
+    if not grid:
+        out = out.permute(0, 1, 4, 2, 5, 3, 6, 7).reshape(1, 12, 12, 12, dim)
+    else:
+        out = out.permute(0, 4, 1, 5, 2, 6, 3, 7).reshape(1, 12, 12, 12, dim)
+    want = out.numpy()
+
+    tree = {}
+    ti._window_attn(tree, "wa", _sd(ref, "m"), "m")
+    ours = MultiAxisWindowAttention(dim_head=32, window=w, grid=grid, name="wa").apply(
+        {"params": tree["wa"]}, jnp.asarray(x)
+    )
+    np.testing.assert_allclose(np.asarray(ours), want, rtol=2e-4, atol=2e-5)
+
+
+def test_pixel_shuffle_golden(rng):
+    from hybrid_ctunet_tpu.models.layers import PixelShuffleLinear
+
+    ref = RefPixelShuffle(3, (2, 2, 1), 64, 32).eval()
+    x = rng.standard_normal((2, 3, 4, 5, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = _to_channels_last(ref(_ncdhw(x)))
+
+    tree = {}
+    ti._dense(tree, "ps/to_out", _sd(ref), "to_out")
+    ours = PixelShuffleLinear((2, 2, 1), 32, name="ps").apply(
+        {"params": tree["ps"]}, jnp.asarray(x)
+    )
+    assert ours.shape == want.shape
+    np.testing.assert_allclose(np.asarray(ours), want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_cunet_golden_full(rng):
+    """Full CUNet (depth 50) forward parity at (96,96,48)."""
+    from hybrid_ctunet_tpu.models import CUNet
+
+    ref = RefCUNet(out_channels=14, model_depth=50).eval()
+    x = rng.standard_normal((1, 96, 96, 48, 1)).astype(np.float32)
+    with torch.no_grad():
+        want = [_to_channels_last(o) for o in ref(_ncdhw(x))]
+
+    params = ti.convert_cunet(_sd(ref), model_depth=50)
+    ours = CUNet(out_channels=14, model_depth=50).apply(params, jnp.asarray(x))
+    for o, w_ in zip(ours, want):
+        np.testing.assert_allclose(np.asarray(o), w_, rtol=5e-3, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_ctunet_golden_full(rng):
+    """Full CTUNet (depth 50, pf 8) forward parity at (96,96,48)."""
+    from hybrid_ctunet_tpu.models import CTUNet
+
+    ref = RefCTUNet(
+        in_channels=1,
+        dim_conv_stem=64,
+        out_channels=14,
+        model_depth=50,
+        img_size=(96, 96),
+        frames=48,
+        patch_frame=8,
+    ).eval()
+    x = rng.standard_normal((1, 96, 96, 48, 1)).astype(np.float32)
+    with torch.no_grad():
+        (r0, r48, r24), (v0, v96) = ref(_ncdhw(x))
+    want = [_to_channels_last(t) for t in (r0, r48, r24, v0, v96)]
+
+    params = ti.convert_ctunet(_sd(ref), model_depth=50)
+    model = CTUNet(out_channels=14, model_depth=50, img_size=(96, 96), frames=48, patch_frame=8)
+    (o0, o48, o24), (q0, q96) = model.apply(params, jnp.asarray(x))
+    for o, w_ in zip((o0, o48, o24, q0, q96), want):
+        np.testing.assert_allclose(np.asarray(o), w_, rtol=5e-3, atol=1e-3)
