@@ -1,0 +1,239 @@
+"""Batched, fully-jitted sliding-window inference with gaussian blending.
+
+Capability match for the reference's two forked MONAI sliding-window engines
+(single-output trainer_CUNet.py:268-424, dual-output trainer_CTUNet.py:417-581),
+re-designed for XLA:
+
+- the window grid (MONAI ``dense_patch_slices`` semantics: interval =
+  ``int(roi*(1-overlap))``, starts clamped to the volume edge) is precomputed
+  on host — static per padded volume shape;
+- the whole volume pass is ONE jitted program: a ``lax.scan`` over window
+  chunks of ``sw_batch_size``; each chunk gathers windows with
+  ``dynamic_slice`` (vmapped), runs the predictor batched on the MXU, and
+  scatter-adds ``importance * prob`` into the fp32 accumulator with
+  ``dynamic_update_slice`` — no host round-trips, no per-window Python;
+- multi-output predictors are first-class (CTUNet's dual map);
+- the trailing partial chunk is padded with dummy windows whose importance is
+  zeroed, keeping every shape static.
+
+Blending math is identical to the reference: ``out = Σ w*p / Σ w`` with the
+erf-gaussian importance map (σ = 0.125·roi), then crop the centred padding.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.importance import gaussian_importance_map
+
+
+def get_scan_interval(
+    image_size: Sequence[int], roi_size: Sequence[int], overlap: float
+) -> Tuple[int, ...]:
+    """Reference trainer_CUNet.py:403-424 (`_get_scan_interval`)."""
+    if not 0 <= overlap < 1:
+        raise ValueError("overlap must be >= 0 and < 1.")
+    interval = []
+    for i, r in zip(image_size, roi_size):
+        if r == i:
+            interval.append(int(r))
+        else:
+            interval.append(max(int(r * (1 - overlap)), 1))
+    return tuple(interval)
+
+
+def dense_patch_starts(
+    image_size: Sequence[int], patch_size: Sequence[int], scan_interval: Sequence[int]
+) -> np.ndarray:
+    """MONAI 0.7 ``dense_patch_slices`` start grid (C-order meshgrid, starts
+    clamped so every window fits)."""
+    ndim = len(image_size)
+    scan_num = []
+    for i in range(ndim):
+        if scan_interval[i] == 0:
+            scan_num.append(1)
+            continue
+        num = int(math.ceil(float(image_size[i]) / scan_interval[i]))
+        scan_dim = next(
+            (d for d in range(num) if d * scan_interval[i] + patch_size[i] >= image_size[i]), None
+        )
+        scan_num.append(scan_dim + 1 if scan_dim is not None else 1)
+
+    axis_starts = []
+    for dim in range(ndim):
+        starts = []
+        for idx in range(scan_num[dim]):
+            s = idx * scan_interval[dim]
+            s -= max(s + patch_size[dim] - image_size[dim], 0)
+            starts.append(s)
+        axis_starts.append(starts)
+    mesh = np.meshgrid(*axis_starts, indexing="ij")
+    return np.stack([m.reshape(-1) for m in mesh], axis=-1).astype(np.int32)  # (N, ndim)
+
+
+def _pad_amounts(image_size: Sequence[int], roi_size: Sequence[int]):
+    """Centred pad to at least roi per axis (reference trainer_CTUNet.py:495-500)."""
+    lo, hi = [], []
+    for i, r in zip(image_size, roi_size):
+        diff = max(r - i, 0)
+        half = diff // 2
+        lo.append(half)
+        hi.append(diff - half)
+    return lo, hi
+
+
+class SlidingWindowEngine:
+    """Reusable jitted engine. Compiles once per (padded shape, window count);
+    the predictor's window batch shape is always static."""
+
+    def __init__(
+        self,
+        predictor: Callable,
+        roi_size: Tuple[int, int, int],
+        *,
+        sw_batch_size: int = 4,
+        overlap: float = 0.5,
+        mode: str = "gaussian",
+        sigma_scale: float = 0.125,
+        num_outputs: int = 1,
+    ):
+        self.predictor = predictor
+        self.roi_size = tuple(int(r) for r in roi_size)
+        self.sw_batch_size = int(sw_batch_size)
+        self.overlap = float(overlap)
+        self.mode = mode
+        self.sigma_scale = sigma_scale
+        self.num_outputs = int(num_outputs)
+        self._jitted = {}
+
+    def _importance(self, patch_size) -> np.ndarray:
+        if self.mode == "gaussian":
+            return gaussian_importance_map(patch_size, self.sigma_scale)
+        if self.mode == "constant":
+            return np.ones(patch_size, np.float32)
+        raise ValueError(f"unknown blend mode {self.mode!r}")
+
+    def _build(self, padded_shape, n_windows, n_channels_in):
+        roi = self.roi_size
+        sw = self.sw_batch_size
+        n_chunks = -(-n_windows // sw)
+        n_padded = n_chunks * sw
+
+        out_shapes = jax.eval_shape(
+            self.predictor,
+            jax.ShapeDtypeStruct((sw, *roi, n_channels_in), jnp.float32),
+        )
+        if not isinstance(out_shapes, (tuple, list)):
+            out_shapes = (out_shapes,)
+        out_channels = tuple(o.shape[-1] for o in out_shapes)
+
+        @jax.jit
+        def run(padded, starts, valid, importance):
+            # padded: (1, X, Y, Z, C); starts: (n_padded, 3); valid: (n_padded,)
+            X, Y, Z = padded.shape[1:4]
+            imp = importance[None, ..., None]  # (1, rx, ry, rz, 1)
+
+            chunk_starts = starts.reshape(n_chunks, sw, 3)
+            chunk_valid = valid.reshape(n_chunks, sw)
+
+            def gather_one(s):
+                return jax.lax.dynamic_slice(
+                    padded, (0, s[0], s[1], s[2], 0), (1, *roi, padded.shape[-1])
+                )[0]
+
+            accs = tuple(jnp.zeros((X, Y, Z, c), jnp.float32) for c in out_channels)
+            cnt = jnp.zeros((X, Y, Z, 1), jnp.float32)
+
+            def body(carry, chunk):
+                accs, cnt = carry
+                s, v = chunk
+                wins = jax.vmap(gather_one)(s)  # (sw, rx, ry, rz, C)
+                preds = self.predictor(wins)
+                preds = preds if isinstance(preds, (tuple, list)) else (preds,)
+                w_imp = imp * v[:, None, None, None, None]  # zero dummy windows
+
+                def scatter(acc, contrib, s):
+                    def one(i, acc):
+                        cur = jax.lax.dynamic_slice(
+                            acc, (s[i, 0], s[i, 1], s[i, 2], 0), (*roi, acc.shape[-1])
+                        )
+                        return jax.lax.dynamic_update_slice(
+                            acc, cur + contrib[i], (s[i, 0], s[i, 1], s[i, 2], 0)
+                        )
+
+                    return jax.lax.fori_loop(0, sw, one, acc)
+
+                new_accs = tuple(
+                    scatter(acc, (w_imp * p.astype(jnp.float32)), s)
+                    for acc, p in zip(accs, preds)
+                )
+                new_cnt = scatter(cnt, jnp.broadcast_to(w_imp, (sw, *roi, 1)), s)
+                return (new_accs, new_cnt), None
+
+            (accs, cnt), _ = jax.lax.scan(body, (accs, cnt), (chunk_starts, chunk_valid))
+            return tuple(acc / cnt for acc in accs)
+
+        return run, n_padded
+
+    def __call__(self, volume: jax.Array):
+        """volume: (1, X, Y, Z, C) channels-last. Returns a tuple of blended
+        full-volume maps (length = predictor's output arity), cropped to the
+        input size."""
+        assert volume.ndim == 5 and volume.shape[0] == 1, volume.shape
+        image_size = volume.shape[1:4]
+        lo, hi = _pad_amounts(image_size, self.roi_size)
+        padded_size = tuple(i + l + h for i, l, h in zip(image_size, lo, hi))
+        pad_cfg = [(0, 0), (lo[0], hi[0]), (lo[1], hi[1]), (lo[2], hi[2]), (0, 0)]
+        padded = jnp.pad(volume, pad_cfg)
+
+        interval = get_scan_interval(padded_size, self.roi_size, self.overlap)
+        starts = dense_patch_starts(padded_size, self.roi_size, interval)
+        n = len(starts)
+
+        key = (padded_size, n, volume.shape[-1])
+        if key not in self._jitted:
+            self._jitted[key] = self._build(padded_size, n, volume.shape[-1])
+        run, n_padded = self._jitted[key]
+
+        starts_p = np.zeros((n_padded, 3), np.int32)
+        starts_p[:n] = starts
+        valid = np.zeros((n_padded,), np.float32)
+        valid[:n] = 1.0
+        importance = jnp.asarray(self._importance(self.roi_size))
+
+        outs = run(padded, jnp.asarray(starts_p), jnp.asarray(valid), importance)
+        crop = tuple(
+            slice(l, l + i) for l, i in zip(lo, image_size)
+        )
+        outs = tuple(o[crop[0], crop[1], crop[2], :][None] for o in outs)
+        return outs
+
+
+def sliding_window_inference(
+    inputs: jax.Array,
+    roi_size: Tuple[int, int, int],
+    sw_batch_size: int,
+    predictor: Callable,
+    *,
+    overlap: float = 0.25,
+    mode: str = "constant",
+    sigma_scale: float = 0.125,
+):
+    """One-shot functional API mirroring the reference signature
+    (trainer_CUNet.py:268 / trainer_CTUNet.py:417). Returns a single map or a
+    tuple, matching the predictor's output arity."""
+    engine = SlidingWindowEngine(
+        predictor,
+        tuple(roi_size),
+        sw_batch_size=sw_batch_size,
+        overlap=overlap,
+        mode=mode,
+        sigma_scale=sigma_scale,
+    )
+    outs = engine(inputs)
+    return outs if len(outs) > 1 else outs[0]
