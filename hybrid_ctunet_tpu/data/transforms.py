@@ -1,0 +1,378 @@
+"""Volumetric preprocessing pipeline with invertibility metadata.
+
+Capability match for the reference's MONAI transform chains
+(utils/data_utils.py:69-143):
+
+  train:   Load -> AddChannel -> Orientation(RAS) -> Spacing(1.5,1.5,2.0;
+           bilinear/nearest) -> ScaleIntensityRange(-175..250 -> 0..1, clip)
+           -> CropForeground -> RandCropByPosNegLabel(96^3, pos=1, neg=1, x4)
+           -> RandFlip x3(p=.2) -> RandRotate90(p=.2)
+           -> RandScaleIntensity(.1, p=.1) -> RandShiftIntensity(.1, p=.1)
+  val/test ("invert_transform"): same deterministic chain but *labels stay on
+           the native grid*; predictions are inverted back (MONAI Invertd,
+           trainer_CTUNet.py:141-178) — here via the recorded metadata.
+
+All transforms are channels-last numpy (host-side), matching where the
+reference runs them (CPU dataloader workers); the random ops take an explicit
+``np.random.Generator`` so distributed parity is controlled by seeding.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import scipy.ndimage as ndimage
+
+
+# ---------------------------------------------------------------- orientation
+
+def _io_orientation(affine: np.ndarray) -> np.ndarray:
+    """(axis, flip) pairs mapping array axes to nearest RAS axes (the
+    nib.io_orientation algorithm: argmax of the normalized affine columns)."""
+    rzs = affine[:3, :3]
+    zooms = np.sqrt((rzs**2).sum(axis=0))
+    zooms[zooms == 0] = 1.0
+    normed = rzs / zooms
+    out = np.zeros((3, 2))
+    taken = set()
+    # greedy assignment by absolute cosine, largest first
+    order = np.argsort(-np.abs(normed).max(axis=0))
+    for col in order:
+        scores = np.abs(normed[:, col])
+        for row in np.argsort(-scores):
+            if row not in taken:
+                taken.add(row)
+                out[col] = (row, 1.0 if normed[row, col] >= 0 else -1.0)
+                break
+    return out
+
+
+def orientation_ras(
+    data: np.ndarray, affine: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    """Reorient (X,Y,Z,...) array + affine to RAS. Returns data, new affine,
+    and metadata sufficient to invert."""
+    ornt = _io_orientation(affine)
+    perm = np.argsort(ornt[:, 0]).tolist()  # array axis order so axis i -> world i
+    flips = [ornt[perm[i], 1] < 0 for i in range(3)]
+
+    out = np.transpose(data, perm + list(range(3, data.ndim)))
+    for ax, f in enumerate(flips):
+        if f:
+            out = np.flip(out, axis=ax)
+    out = np.ascontiguousarray(out)
+
+    # updated affine
+    shape = data.shape[:3]
+    T = np.eye(4)
+    rot = np.zeros((3, 3))
+    offs = np.zeros(3)
+    for new_ax in range(3):
+        old_ax = perm[new_ax]
+        sgn = -1.0 if flips[new_ax] else 1.0
+        rot[old_ax, new_ax] = sgn
+        if flips[new_ax]:
+            offs[old_ax] = shape[old_ax] - 1
+    T[:3, :3] = rot
+    T[:3, 3] = offs
+    new_affine = affine @ T
+    meta = {"perm": perm, "flips": flips, "orig_shape": tuple(shape)}
+    return out, new_affine, meta
+
+
+def invert_orientation(data: np.ndarray, meta: Dict) -> np.ndarray:
+    out = data
+    for ax, f in enumerate(meta["flips"]):
+        if f:
+            out = np.flip(out, axis=ax)
+    inv_perm = np.argsort(meta["perm"]).tolist()
+    return np.ascontiguousarray(np.transpose(out, inv_perm + list(range(3, data.ndim))))
+
+
+# ------------------------------------------------------------------- spacing
+
+def spacing_resample(
+    data: np.ndarray,
+    affine: np.ndarray,
+    pixdim: Sequence[float],
+    *,
+    mode: str = "bilinear",
+) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    """Resample to target spacing (MONAI Spacingd semantics: new shape =
+    ceil(old_shape * old_spacing / new_spacing), linear for images, nearest
+    for labels). Channels-last (X,Y,Z[,C])."""
+    old_spacing = np.sqrt((affine[:3, :3] ** 2).sum(axis=0))
+    new_spacing = np.asarray(pixdim, np.float64)
+    shape = np.asarray(data.shape[:3], np.float64)
+    new_shape = np.maximum(np.ceil(shape * old_spacing / new_spacing), 1).astype(int)
+
+    scale = new_spacing / old_spacing  # input voxels per output voxel
+    order = 1 if mode == "bilinear" else 0
+    matrix = np.diag(scale)
+    # nearest mode keeps the input dtype (labels stay integer)
+    work_dtype = data.dtype if order == 0 else np.float32
+
+    def _resample_channel(ch):
+        return ndimage.affine_transform(
+            ch,
+            matrix,
+            offset=0.0,
+            output_shape=tuple(new_shape),
+            order=order,
+            mode="constant",
+            cval=0.0,
+            prefilter=False,
+        )
+
+    if data.ndim == 3:
+        out = _resample_channel(data.astype(work_dtype))
+    else:
+        out = np.stack(
+            [_resample_channel(data[..., c].astype(work_dtype)) for c in range(data.shape[-1])],
+            axis=-1,
+        )
+    new_affine = affine.copy()
+    new_affine[:3, :3] = affine[:3, :3] @ np.diag(scale)
+    meta = {
+        "orig_shape": tuple(int(s) for s in data.shape[:3]),
+        "scale": scale.tolist(),
+        "new_shape": tuple(int(s) for s in new_shape),
+    }
+    return out, new_affine, meta
+
+
+def invert_spacing(data: np.ndarray, meta: Dict, *, mode: str = "bilinear") -> np.ndarray:
+    """Map a (X,Y,Z[,C]) volume on the resampled grid back to the native grid
+    (the Invertd path; nearest_interp=False -> linear for logits)."""
+    inv_scale = 1.0 / np.asarray(meta["scale"])
+    order = 1 if mode == "bilinear" else 0
+    matrix = np.diag(inv_scale)
+
+    def _one(ch):
+        return ndimage.affine_transform(
+            ch,
+            matrix,
+            output_shape=meta["orig_shape"],
+            order=order,
+            mode="constant",
+            cval=0.0,
+            prefilter=False,
+        )
+
+    if data.ndim == 3:
+        return _one(data.astype(np.float32))
+    return np.stack([_one(data[..., c].astype(np.float32)) for c in range(data.shape[-1])], axis=-1)
+
+
+# ----------------------------------------------------------------- intensity
+
+def scale_intensity_range(
+    img: np.ndarray, a_min: float, a_max: float, b_min: float, b_max: float, clip: bool = True
+) -> np.ndarray:
+    out = (img.astype(np.float32) - a_min) / (a_max - a_min)
+    out = out * (b_max - b_min) + b_min
+    if clip:
+        out = np.clip(out, b_min, b_max)
+    return out
+
+
+# ---------------------------------------------------------------------- crop
+
+def foreground_bbox(img: np.ndarray, *, margin: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Bounding box of img > 0 (MONAI CropForegroundd default select_fn)."""
+    fg = img > 0
+    if fg.ndim == 4:
+        fg = fg.any(axis=-1)
+    coords = np.nonzero(fg)
+    if len(coords[0]) == 0:
+        return np.zeros(3, int), np.asarray(fg.shape)
+    lo = np.array([max(int(c.min()) - margin, 0) for c in coords])
+    hi = np.array([min(int(c.max()) + 1 + margin, s) for c, s in zip(coords, fg.shape)])
+    return lo, hi
+
+
+def crop_foreground(
+    img: np.ndarray, label: Optional[np.ndarray] = None
+) -> Tuple[np.ndarray, Optional[np.ndarray], Dict]:
+    lo, hi = foreground_bbox(img)
+    sl = tuple(slice(int(a), int(b)) for a, b in zip(lo, hi))
+    meta = {"bbox_lo": lo.tolist(), "bbox_hi": hi.tolist(), "orig_shape": tuple(img.shape[:3])}
+    cropped = img[sl]
+    clabel = label[sl] if label is not None else None
+    return cropped, clabel, meta
+
+
+def invert_crop(data: np.ndarray, meta: Dict, fill: float = 0.0) -> np.ndarray:
+    """Pad a cropped-grid volume back to the pre-crop grid."""
+    lo, hi = meta["bbox_lo"], meta["bbox_hi"]
+    full_shape = tuple(meta["orig_shape"]) + data.shape[3:]
+    out = np.full(full_shape, fill, dtype=data.dtype)
+    sl = tuple(slice(a, b) for a, b in zip(lo, hi))
+    out[sl] = data
+    return out
+
+
+# --------------------------------------------------------------- random crop
+
+def rand_crop_by_pos_neg_label(
+    img: np.ndarray,
+    label: np.ndarray,
+    rng: np.random.Generator,
+    *,
+    spatial_size: Tuple[int, int, int] = (96, 96, 96),
+    pos: float = 1.0,
+    neg: float = 1.0,
+    num_samples: int = 4,
+    image_threshold: float = 0.0,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """MONAI RandCropByPosNegLabeld semantics (utils/data_utils.py:84-93):
+    each sample's centre drawn from foreground (label>0) with prob
+    pos/(pos+neg), else from background voxels where image>threshold; windows
+    clamped inside the (padded-if-needed) volume."""
+    size = np.asarray(spatial_size)
+    shape = np.asarray(img.shape[:3])
+
+    # pad symmetrically if smaller than the crop (MONAI pads with zeros)
+    if (shape < size).any():
+        diff = np.maximum(size - shape, 0)
+        lo = diff // 2
+        hi = diff - lo
+        pad = [(int(l), int(h)) for l, h in zip(lo, hi)] + [(0, 0)] * (img.ndim - 3)
+        img = np.pad(img, pad)
+        pad_l = [(int(l), int(h)) for l, h in zip(lo, hi)] + [(0, 0)] * (label.ndim - 3)
+        label = np.pad(label, pad_l)
+        shape = np.asarray(img.shape[:3])
+
+    lab3 = label[..., 0] if label.ndim == 4 else label
+    img3 = img[..., 0] if img.ndim == 4 else img
+    fg = np.stack(np.nonzero(lab3 > 0), axis=-1)
+    bg_mask = (lab3 <= 0) & (img3 > image_threshold)
+    bg = np.stack(np.nonzero(bg_mask), axis=-1)
+    if len(fg) == 0:
+        fg = bg
+    if len(bg) == 0:
+        bg = fg
+
+    half_lo = size // 2
+    p_pos = pos / (pos + neg)
+    out = []
+    for _ in range(num_samples):
+        pool = fg if rng.random() < p_pos else bg
+        centre = pool[rng.integers(0, len(pool))]
+        start = np.clip(centre - half_lo, 0, shape - size)
+        sl = tuple(slice(int(s), int(s + z)) for s, z in zip(start, size))
+        out.append((img[sl], label[sl]))
+    return out
+
+
+# ------------------------------------------------------------- augmentations
+
+def rand_flip(img, label, rng, *, prob: float = 0.2, axis: int = 0):
+    if rng.random() < prob:
+        img = np.flip(img, axis=axis)
+        label = np.flip(label, axis=axis)
+    return img, label
+
+
+def rand_rotate90(img, label, rng, *, prob: float = 0.2, max_k: int = 3, axes=(0, 1)):
+    if rng.random() < prob:
+        k = int(rng.integers(1, max_k + 1))
+        img = np.rot90(img, k, axes=axes)
+        label = np.rot90(label, k, axes=axes)
+    return img, label
+
+
+def rand_scale_intensity(img, rng, *, factors: float = 0.1, prob: float = 0.1):
+    if rng.random() < prob:
+        img = img * (1.0 + rng.uniform(-factors, factors))
+    return img
+
+
+def rand_shift_intensity(img, rng, *, offsets: float = 0.1, prob: float = 0.1):
+    if rng.random() < prob:
+        img = img + rng.uniform(-offsets, offsets)
+    return img
+
+
+def augment_crop(img, label, rng, cfg) -> Tuple[np.ndarray, np.ndarray]:
+    """The reference's augmentation tail (data_utils.py:94-99)."""
+    for axis in (0, 1, 2):
+        img, label = rand_flip(img, label, rng, prob=cfg.get("RandFlipd_prob", 0.2), axis=axis)
+    img, label = rand_rotate90(img, label, rng, prob=cfg.get("RandRotate90d_prob", 0.2))
+    img = rand_scale_intensity(img, rng, prob=cfg.get("RandScaleIntensityd_prob", 0.1))
+    img = rand_shift_intensity(img, rng, prob=cfg.get("RandShiftIntensityd_prob", 0.1))
+    return np.ascontiguousarray(img, np.float32), np.ascontiguousarray(label)
+
+
+# ------------------------------------------------------------- full pipeline
+
+@dataclass
+class CaseMeta:
+    """Everything needed to invert predictions to the native grid."""
+
+    affine: np.ndarray
+    orientation: Dict = field(default_factory=dict)
+    spacing: Dict = field(default_factory=dict)
+    crop: Dict = field(default_factory=dict)
+    resample_labels: bool = True
+
+
+def preprocess_case(
+    image: np.ndarray,
+    affine: np.ndarray,
+    label: Optional[np.ndarray] = None,
+    *,
+    pixdim=(1.5, 1.5, 2.0),
+    a_min=-175.0,
+    a_max=250.0,
+    b_min=0.0,
+    b_max=1.0,
+    resample_labels: bool = True,
+):
+    """Deterministic chain: orient RAS -> spacing -> intensity -> crop-fg.
+
+    ``resample_labels=False`` reproduces the reference's val/test
+    "invert_transform" where labels stay native (data_utils.py:103-115).
+    Returns (image[X,Y,Z,1], label|None, CaseMeta).
+    """
+    if image.ndim == 3:
+        image = image[..., None]
+    img, aff_ras, o_meta = orientation_ras(image, affine)
+    img, aff_sp, s_meta = spacing_resample(img, aff_ras, pixdim, mode="bilinear")
+    img = scale_intensity_range(img, a_min, a_max, b_min, b_max, clip=True)
+
+    lab_out = None
+    if label is not None:
+        if label.ndim == 3:
+            label = label[..., None]
+        if resample_labels:
+            lab, _, _ = orientation_ras(label, affine)
+            lab, _, _ = spacing_resample(lab, aff_ras, pixdim, mode="nearest")
+            lab_out = lab
+        else:
+            lab_out = label  # native grid
+
+    if resample_labels and lab_out is not None:
+        img, lab_out, c_meta = crop_foreground(img, lab_out)
+    else:
+        img, _, c_meta = crop_foreground(img)
+
+    meta = CaseMeta(
+        affine=affine,
+        orientation=o_meta,
+        spacing=s_meta,
+        crop=c_meta,
+        resample_labels=resample_labels,
+    )
+    return img.astype(np.float32), lab_out, meta
+
+
+def invert_to_native(pred: np.ndarray, meta: CaseMeta, *, mode: str = "bilinear") -> np.ndarray:
+    """Map a prediction volume (on the preprocessed grid, channels-last
+    (X,Y,Z,K)) back to the native image grid — the MONAI Invertd equivalent
+    (trainer_CTUNet.py:141-178, nearest_interp=False)."""
+    out = invert_crop(pred, meta.crop)
+    out = invert_spacing(out, meta.spacing, mode=mode)
+    out = invert_orientation(out, meta.orientation)
+    return out

@@ -1,0 +1,192 @@
+"""Data pipeline tests: NIfTI IO round-trip, RAS orientation, spacing
+resample + inversion, foreground crop, pos/neg crop sampling, cached dataset
++ loader, shard sampler parity with the reference Sampler."""
+import os
+
+import numpy as np
+import pytest
+
+from hybrid_ctunet_tpu.data.datalist import load_decathlon_datalist
+from hybrid_ctunet_tpu.data.dataset import CachedDataset, ShardSampler, TrainLoader
+from hybrid_ctunet_tpu.data.nifti import load_nifti, save_nifti
+from hybrid_ctunet_tpu.data.synthetic import write_synthetic_dataset
+from hybrid_ctunet_tpu.data.transforms import (
+    crop_foreground,
+    invert_crop,
+    invert_orientation,
+    invert_spacing,
+    invert_to_native,
+    orientation_ras,
+    preprocess_case,
+    rand_crop_by_pos_neg_label,
+    scale_intensity_range,
+    spacing_resample,
+)
+
+
+def test_nifti_roundtrip(tmp_path, rng):
+    data = rng.normal(0, 100, (20, 24, 16)).astype(np.float32)
+    affine = np.array(
+        [[0, -1.5, 0, 10], [1.5, 0, 0, -20], [0, 0, 2.0, 5], [0, 0, 0, 1]], np.float64
+    )
+    for name in ("a.nii", "a.nii.gz"):
+        p = str(tmp_path / name)
+        save_nifti(p, data, affine)
+        back, aff = load_nifti(p)
+        np.testing.assert_allclose(back, data, rtol=1e-6)
+        np.testing.assert_allclose(aff, affine, atol=1e-5)
+
+
+def test_nifti_int_labels_roundtrip(tmp_path, rng):
+    lab = rng.integers(0, 14, (10, 12, 8)).astype(np.uint8)
+    p = str(tmp_path / "lab.nii.gz")
+    save_nifti(p, lab, np.eye(4))
+    back, _ = load_nifti(p)
+    np.testing.assert_array_equal(back, lab)
+
+
+@pytest.mark.parametrize(
+    "affine",
+    [
+        np.eye(4),
+        np.diag([-1.0, 1.0, 1.0, 1.0]),  # L-flip
+        np.array([[0, 1, 0, 0], [-1, 0, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]], float),  # swap
+        np.array([[0, 0, -2.0, 5], [1.5, 0, 0, -3], [0, -1.5, 0, 7], [0, 0, 0, 1]], float),
+    ],
+)
+def test_orientation_ras_invertible_and_ras(rng, affine):
+    data = rng.normal(0, 1, (6, 8, 10, 1)).astype(np.float32)
+    out, new_aff, meta = orientation_ras(data, affine)
+    # RAS: positive-dominant diagonal of the rotation part
+    rzs = new_aff[:3, :3]
+    for i in range(3):
+        j = np.argmax(np.abs(rzs[:, i]))
+        assert j == i and rzs[i, i] > 0, new_aff
+    back = invert_orientation(out, meta)
+    np.testing.assert_array_equal(back, data)
+
+
+def test_spacing_resample_shapes_and_inverse(rng):
+    data = rng.normal(0, 1, (30, 30, 20, 1)).astype(np.float32)
+    affine = np.diag([1.0, 1.0, 2.5, 1.0])
+    out, new_aff, meta = spacing_resample(data, affine, (1.5, 1.5, 2.0))
+    assert out.shape[:3] == (20, 20, 25)  # ceil(30*1/1.5), ceil(20*2.5/2)
+    np.testing.assert_allclose(np.diag(new_aff)[:3], (1.5, 1.5, 2.0))
+    back = invert_spacing(out, meta)
+    assert back.shape[:3] == (30, 30, 20)
+    # smooth data round-trips approximately
+    smooth = np.tile(np.linspace(0, 1, 20)[None, None, :, None], (30, 30, 1, 1)).astype(np.float32)
+    o2, _, m2 = spacing_resample(smooth, affine, (1.5, 1.5, 2.0))
+    b2 = invert_spacing(o2, m2)
+    np.testing.assert_allclose(b2[2:-2, 2:-2, 2:-2], smooth[2:-2, 2:-2, 2:-2], atol=0.05)
+
+
+def test_scale_intensity_matches_reference_params(rng):
+    img = rng.uniform(-1000, 1000, (10, 10, 10)).astype(np.float32)
+    out = scale_intensity_range(img, -175.0, 250.0, 0.0, 1.0, clip=True)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    np.testing.assert_allclose(
+        out[(img > -175) & (img < 250)], ((img + 175) / 425)[(img > -175) & (img < 250)], rtol=1e-5
+    )
+
+
+def test_crop_foreground_and_invert(rng):
+    img = np.zeros((20, 20, 20, 1), np.float32)
+    img[5:15, 3:18, 8:12] = 1.0
+    lab = (img > 0).astype(np.uint8)
+    ci, cl, meta = crop_foreground(img, lab)
+    assert ci.shape[:3] == (10, 15, 4)
+    restored = invert_crop(ci, meta)
+    np.testing.assert_array_equal(restored, img)
+
+
+def test_rand_crop_pos_neg(rng):
+    img = np.ones((120, 120, 60, 1), np.float32)
+    lab = np.zeros((120, 120, 60, 1), np.uint8)
+    lab[40:60, 40:60, 20:40] = 3
+    crops = rand_crop_by_pos_neg_label(
+        img, lab, np.random.default_rng(0), spatial_size=(96, 96, 96), num_samples=4
+    )
+    assert len(crops) == 4
+    for ci, cl in crops:
+        assert ci.shape == (96, 96, 96, 1)
+        assert cl.shape == (96, 96, 96, 1)
+    # pos crops should contain foreground about half the time over many draws
+    hits = 0
+    for s in range(40):
+        crops = rand_crop_by_pos_neg_label(
+            img, lab, np.random.default_rng(s), spatial_size=(96, 96, 96), num_samples=1
+        )
+        hits += int((crops[0][1] > 0).any())
+    assert 10 <= hits <= 40
+
+
+def test_shard_sampler_matches_reference_semantics():
+    # 10 cases over 4 replicas -> 3 each with padding; valid_length marks real ones
+    samplers = [ShardSampler(10, 4, r) for r in range(4)]
+    assert [s.num_samples for s in samplers] == [3, 3, 3, 3]
+    assert [s.valid_length for s in samplers] == [3, 3, 2, 2]
+    all_idx = []
+    for s in samplers:
+        s.set_epoch(5)
+        idx = s.indices()
+        assert len(idx) == 3
+        all_idx += idx
+    assert set(all_idx) == set(range(10))  # full coverage
+    # deterministic per epoch
+    assert samplers[0].indices() == samplers[0].indices()
+
+
+def test_end_to_end_synthetic_dataset(tmp_path, rng):
+    root = str(tmp_path / "ds")
+    json_path = write_synthetic_dataset(root, n_train=2, n_val=1, shape=(64, 64, 32))
+    datalist = load_decathlon_datalist(json_path, True, "training", base_dir=root)
+    assert len(datalist) == 2 and os.path.isfile(datalist[0]["image"])
+
+    ds = CachedDataset(datalist, cache_num=2)
+    img, lab, meta, _ = ds.get(0)
+    assert img.ndim == 4 and img.shape[-1] == 1
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    assert lab.shape[:3] == img.shape[:3]
+
+    loader = TrainLoader(ds, batch_size=1, roi_size=(32, 32, 32), num_samples=4)
+    loader.set_epoch(0)
+    batches = list(loader)
+    assert len(batches) == 2
+    bi, bl = batches[0]
+    assert bi.shape == (4, 32, 32, 32, 1)
+    assert bl.shape == (4, 32, 32, 32, 1)
+    assert bl.max() <= 13
+
+
+def test_invert_to_native_roundtrip_labels(tmp_path, rng):
+    """A prediction equal to the preprocessed-grid one-hot label, inverted to
+    native space, must closely match the native label (the val Dice path)."""
+    root = str(tmp_path / "ds2")
+    json_path = write_synthetic_dataset(root, n_train=1, n_val=1, shape=(64, 64, 32))
+    datalist = load_decathlon_datalist(json_path, True, "validation", base_dir=root)
+    ds = CachedDataset(datalist, cache_num=1, resample_labels=False)
+    img, lab_native, meta, _ = ds.get(0)
+
+    # build the resampled-grid label to act as a fake "prediction"
+    ds2 = CachedDataset(datalist, cache_num=1, resample_labels=True)
+    _, lab_grid, _, _ = ds2.get(0)
+    n_classes = 14
+    onehot = np.eye(n_classes, dtype=np.float32)[lab_grid[..., 0].astype(int)]
+    inverted = invert_to_native(onehot, meta)
+    pred_native = np.argmax(inverted, axis=-1)
+
+    lab3 = lab_native[..., 0]
+    agree = (pred_native == lab3).mean()
+    assert agree > 0.99, agree
+    # per-organ dice: tiny synthetic blobs lose a bit to resample quantization
+    # (native 2.5mm z -> 2.0mm -> back); organs with enough support stay high.
+    dices = []
+    for organ in np.unique(lab3)[1:]:
+        a = pred_native == organ
+        b = lab3 == organ
+        dice = 2 * (a & b).sum() / max(a.sum() + b.sum(), 1)
+        dices.append(dice)
+        if b.sum() >= 100:
+            assert dice > 0.8, (organ, dice)
+    assert np.mean(dices) > 0.8, dices
