@@ -1,0 +1,191 @@
+"""Evaluation entry points (reference test_C_TUNet.py / test_CTUNet.py /
+test_CTUNet_final.py).
+
+All three share the loop: sliding-window infer each val case -> invert logits
+to the native grid -> softmax/argmax (ensembling where applicable) ->
+per-organ Dice (classes 1..13) -> save NIfTI mask + dice.txt report.
+``test_final`` adds the Hybrid-CTUNet mask-complementation ensemble
+(CTUNet overlap 0.5 + TUNet overlap 0.7, softmax-mean, test_CTUNet_final.py:
+539-552), HD95, and optional nnU-Net largest-CC postprocessing (:654-656).
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import get_loader
+from ..data.nifti import save_nifti
+from ..data.transforms import invert_to_native
+from ..eval import com_dice, com_hd, determine_postprocessing, per_organ_dice, write_dice_report
+from ..infer.sliding_window import SlidingWindowEngine
+from .args import build_test_parser
+from .factory import build_model, load_eval_params
+
+
+def _softmax(x, axis=-1):
+    x = x - x.max(axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis, keepdims=True)
+
+
+def _native_logits(engine, params, case, head: Optional[int] = None):
+    img = np.asarray(case.image)
+    vol = jnp.asarray(img if img.ndim == 4 else img[..., None])[None]
+    outs = engine(vol, params)
+    if head is None:
+        maps = [np.asarray(o[0]) for o in outs]
+        return [invert_to_native(m, case.meta) for m in maps]
+    return invert_to_native(np.asarray(outs[head][0]), case.meta)
+
+
+def _label_of(case):
+    lab = np.asarray(case.label)
+    return lab[..., 0] if lab.ndim == 4 else lab
+
+
+def _single_engine(model, args, overlap=None):
+    def predictor(x, params):
+        return model.apply({"params": params}, x)[0]
+
+    return SlidingWindowEngine(
+        predictor, (args.roi_x, args.roi_y, args.roi_z), sw_batch_size=4,
+        overlap=args.infer_overlap if overlap is None else overlap, mode="gaussian",
+    )
+
+
+def _dual_engine(model, args, overlap=None):
+    def predictor(x, params):
+        (res, _, _), (vit, _) = model.apply({"params": params}, x)
+        return res, vit
+
+    return SlidingWindowEngine(
+        predictor, (args.roi_x, args.roi_y, args.roi_z), sw_batch_size=4,
+        overlap=args.infer_overlap if overlap is None else overlap, mode="gaussian",
+        num_outputs=2,
+    )
+
+
+def test_single(argv=None):
+    """test_C_TUNet.py: evaluate one CUNet or TUNet checkpoint."""
+    args = build_test_parser("c_tunet").parse_args(argv)
+    args.test_mode = True
+    _, val_cases = get_loader(args)
+    out_dir = os.path.join("./outputs", args.exp_name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    model = build_model(args)
+    params = load_eval_params(
+        args, args.model_name, os.path.join(args.pretrained_dir, args.pretrained_model_name)
+    )
+    engine = _single_engine(model, args)
+
+    rows, names = [], []
+    for case in val_cases:
+        nat = _native_logits(engine, params, case, head=0)
+        pred = np.argmax(nat, -1)
+        lab = _label_of(case)
+        d = per_organ_dice(pred, lab, n_classes=args.out_channels)
+        print(f"case {case.name} mean dice {np.mean(d):.4f}")
+        rows.append(d)
+        names.append(case.name)
+        save_nifti(os.path.join(out_dir, case.name or "pred.nii.gz"),
+                   pred.astype(np.uint8), case.meta.affine)
+    write_dice_report(out_dir, names, rows)
+    print("Overall Mean Dice: {}".format(float(np.mean(rows))))
+    return np.asarray(rows)
+
+
+def test_ctunet(argv=None):
+    """test_CTUNet.py: three-checkpoint evaluation — pass 1 ensembles the res
+    head of model_res.pt with the vit head of model_vit.pt; pass 2 ensembles
+    both heads of model_hybrid.pt (test_CTUNet.py:228-241, 340-391)."""
+    args = build_test_parser("ctunet").parse_args(argv)
+    args.test_mode = True
+    args.model_name = "ctunet"
+    _, val_cases = get_loader(args)
+    out_dir = os.path.join("./outputs", args.exp_name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    model = build_model(args)
+    p_res = load_eval_params(args, "ctunet", os.path.join(args.pretrained_dir, "model_res.pt"))
+    p_vit = load_eval_params(args, "ctunet", os.path.join(args.pretrained_dir, "model_vit.pt"))
+    p_hyb = load_eval_params(args, "ctunet", os.path.join(args.pretrained_dir, "model_hybrid.pt"))
+    engine = _dual_engine(model, args)
+
+    results = {}
+    for tag, get_maps in (
+        ("res+vit", lambda c: (_native_logits(engine, p_res, c, head=0),
+                               _native_logits(engine, p_vit, c, head=1))),
+        ("hybrid", lambda c: tuple(_native_logits(engine, p_hyb, c, head=None))),
+    ):
+        rows, names = [], []
+        for case in val_cases:
+            m1, m2 = get_maps(case)
+            prob = (_softmax(m1) + _softmax(m2)) / 2.0
+            pred = np.argmax(prob, -1)
+            d = per_organ_dice(pred, _label_of(case), n_classes=args.out_channels)
+            rows.append(d)
+            names.append(case.name)
+            save_nifti(os.path.join(out_dir, f"{tag}_{case.name or 'pred.nii.gz'}"),
+                       pred.astype(np.uint8), case.meta.affine)
+        write_dice_report(out_dir, names, rows, filename=f"dice_{tag}.txt")
+        print(f"[{tag}] Overall Mean Dice: {float(np.mean(rows))}")
+        results[tag] = np.asarray(rows)
+    return results
+
+
+def test_final(argv=None):
+    """test_CTUNet_final.py: the Hybrid-CTUNet ensemble — CTUNet overlap 0.5
+    + independent TUNet overlap 0.7, softmax-mean, Dice + HD95, optional
+    largest-CC postprocessing."""
+    parser = build_test_parser("ctunet")
+    parser.add_argument("--ctunet_dir", default="./runs/CTUNet_ds8_dr0.2", type=str,
+                        help="CTUNet checkpoint dir (reference hardcoded path)")
+    parser.add_argument("--tunet_dir", default="./runs/TUNet_pf8", type=str,
+                        help="independent TUNet checkpoint dir")
+    args = parser.parse_args(argv)
+    args.test_mode = True
+    _, val_cases = get_loader(args)
+    out_dir = os.path.join("./outputs", args.exp_name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    args.model_name = "ctunet"
+    ctunet = build_model(args)
+    args.model_name = "tunet"
+    tunet = build_model(args)
+    p_ct = load_eval_params(args, "ctunet", os.path.join(args.ctunet_dir, "model_res.pt"))
+    p_tu = load_eval_params(args, "tunet", os.path.join(args.tunet_dir, "model_vit.pt"))
+
+    eng_ct = _dual_engine(ctunet, args, overlap=0.5)
+    eng_tu = _single_engine(tunet, args, overlap=0.7)
+
+    infers, labels, names, vpv = [], [], [], []
+    for case in val_cases:
+        res_nat = _native_logits(eng_ct, p_ct, case, head=0)
+        tu_nat = _native_logits(eng_tu, p_tu, case, head=0)
+        prob = (_softmax(res_nat) + _softmax(tu_nat)) / 2.0
+        pred = np.argmax(prob, -1).astype(np.uint8)
+        infers.append(pred)
+        labels.append(_label_of(case).astype(np.uint8))
+        names.append(case.name)
+        # physical volume per voxel from the native affine (SimpleITK spacing
+        # read, test_CTUNet_final.py:500-503)
+        sp = np.abs(np.linalg.det(case.meta.affine[:3, :3]))
+        vpv.append(float(sp))
+        save_nifti(os.path.join(out_dir, case.name or "pred.nii.gz"), pred, case.meta.affine)
+
+    rows = [per_organ_dice(p, l, n_classes=args.out_channels) for p, l in zip(infers, labels)]
+    write_dice_report(out_dir, names, rows)
+    dice_raw = com_dice(infers, labels)
+    if args.postprocess:
+        infers = determine_postprocessing(
+            infers, labels, vpv, processes=min(8, os.cpu_count() or 1),
+            advanced_postprocessing=True,
+        )
+        dice_pp = com_dice(infers, labels)
+    hd = com_hd(infers, labels)
+    return {"dice": dice_raw, "hd95": hd}

@@ -118,7 +118,7 @@ class SlidingWindowEngine:
             return np.ones(patch_size, np.float32)
         raise ValueError(f"unknown blend mode {self.mode!r}")
 
-    def _build(self, padded_shape, n_windows, n_channels_in):
+    def _build(self, padded_shape, n_windows, n_channels_in, pred_args):
         roi = self.roi_size
         sw = self.sw_batch_size
         n_chunks = -(-n_windows // sw)
@@ -127,13 +127,14 @@ class SlidingWindowEngine:
         out_shapes = jax.eval_shape(
             self.predictor,
             jax.ShapeDtypeStruct((sw, *roi, n_channels_in), jnp.float32),
+            *pred_args,
         )
         if not isinstance(out_shapes, (tuple, list)):
             out_shapes = (out_shapes,)
         out_channels = tuple(o.shape[-1] for o in out_shapes)
 
         @jax.jit
-        def run(padded, starts, valid, importance):
+        def run(padded, starts, valid, importance, *pred_args):
             # padded: (1, X, Y, Z, C); starts: (n_padded, 3); valid: (n_padded,)
             X, Y, Z = padded.shape[1:4]
             imp = importance[None, ..., None]  # (1, rx, ry, rz, 1)
@@ -153,7 +154,7 @@ class SlidingWindowEngine:
                 accs, cnt = carry
                 s, v = chunk
                 wins = jax.vmap(gather_one)(s)  # (sw, rx, ry, rz, C)
-                preds = self.predictor(wins)
+                preds = self.predictor(wins, *pred_args)
                 preds = preds if isinstance(preds, (tuple, list)) else (preds,)
                 w_imp = imp * v[:, None, None, None, None]  # zero dummy windows
 
@@ -180,10 +181,14 @@ class SlidingWindowEngine:
 
         return run, n_padded
 
-    def __call__(self, volume: jax.Array):
+    def __call__(self, volume: jax.Array, *pred_args):
         """volume: (1, X, Y, Z, C) channels-last. Returns a tuple of blended
         full-volume maps (length = predictor's output arity), cropped to the
-        input size."""
+        input size.
+
+        ``pred_args`` (e.g. a params pytree) are forwarded to the predictor at
+        call time — pass parameters here rather than closing over them, so the
+        cached compiled program never bakes in stale weights."""
         assert volume.ndim == 5 and volume.shape[0] == 1, volume.shape
         image_size = volume.shape[1:4]
         lo, hi = _pad_amounts(image_size, self.roi_size)
@@ -197,7 +202,7 @@ class SlidingWindowEngine:
 
         key = (padded_size, n, volume.shape[-1])
         if key not in self._jitted:
-            self._jitted[key] = self._build(padded_size, n, volume.shape[-1])
+            self._jitted[key] = self._build(padded_size, n, volume.shape[-1], pred_args)
         run, n_padded = self._jitted[key]
 
         starts_p = np.zeros((n_padded, 3), np.int32)
@@ -206,7 +211,7 @@ class SlidingWindowEngine:
         valid[:n] = 1.0
         importance = jnp.asarray(self._importance(self.roi_size))
 
-        outs = run(padded, jnp.asarray(starts_p), jnp.asarray(valid), importance)
+        outs = run(padded, jnp.asarray(starts_p), jnp.asarray(valid), importance, *pred_args)
         crop = tuple(
             slice(l, l + i) for l, i in zip(lo, image_size)
         )

@@ -36,6 +36,7 @@ class CTUNet(nn.Module):
     mlp_dim: int = 3072
     num_heads: int = 12
     dropout_rate: float = 0.0
+    window: int = 6
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -51,6 +52,7 @@ class CTUNet(nn.Module):
             mlp_dim=self.mlp_dim,
             num_heads=self.num_heads,
             dropout_rate=self.dropout_rate,
+            window=self.window,
             dtype=self.dtype,
             name="core",
         )(x, deterministic=deterministic)

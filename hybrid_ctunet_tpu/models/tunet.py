@@ -35,6 +35,7 @@ class TUNetCore(nn.Module):
     mlp_dim: int = 3072
     num_heads: int = 12
     dropout_rate: float = 0.0
+    window: int = 6
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -62,8 +63,8 @@ class TUNetCore(nn.Module):
         grid = tokens.reshape(B, gh, gw, gf, self.hidden_size)
 
         pyramid = UpAttentionBlock(
-            in_channels=self.hidden_size, dims=DIMS, ds_stride=DS_STRIDE, dtype=self.dtype,
-            name="vit_encoder",
+            in_channels=self.hidden_size, dims=DIMS, ds_stride=DS_STRIDE,
+            window=self.window, dtype=self.dtype, name="vit_encoder",
         )(grid)
 
         stem = ResBlock(self.dim_conv_stem, 3, 1, dtype=self.dtype, name="vit_encoder0")(x)
@@ -90,6 +91,7 @@ class TUNet(nn.Module):
     mlp_dim: int = 3072
     num_heads: int = 12
     dropout_rate: float = 0.0
+    window: int = 6
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -105,6 +107,7 @@ class TUNet(nn.Module):
             mlp_dim=self.mlp_dim,
             num_heads=self.num_heads,
             dropout_rate=self.dropout_rate,
+            window=self.window,
             dtype=self.dtype,
             name="core",
         )(x, deterministic=deterministic)

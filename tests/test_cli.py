@@ -1,0 +1,94 @@
+"""CLI surface + end-to-end smoke tests.
+
+The parser tests pin the reference flag surface (BASELINE.json: "Match the
+reference CLI surface"). The smoke test drives the real training entry on a
+synthetic dataset end-to-end (train step -> val sliding window -> checkpoint)
+at tiny sizes — marked slow (single-core host)."""
+import os
+
+import numpy as np
+import pytest
+
+from hybrid_ctunet_tpu.cli.args import build_test_parser, build_train_parser
+
+# every add_argument name in reference main_C_TUNet.py:33-98
+REFERENCE_FLAGS = [
+    "--checkpoint", "--logdir", "--pretrained_dir", "--data_dir", "--json_list",
+    "--pretrained_model_name", "--save_checkpoint", "--max_epochs", "--batch_size",
+    "--sw_batch_size", "--optim_lr", "--optim_name", "--reg_weight", "--momentum",
+    "--noamp", "--val_every", "--distributed", "--world_size", "--rank", "--dist-url",
+    "--dist-backend", "--workers", "--pos_embed", "--norm_name", "--num_heads",
+    "--mlp_dim", "--hidden_size", "--feature_size", "--in_channels", "--out_channels",
+    "--res_block", "--bottleneck_block", "--conv_block", "--use_normal_dataset",
+    "--a_min", "--a_max", "--b_min", "--b_max", "--space_x", "--space_y", "--space_z",
+    "--roi_x", "--roi_y", "--roi_z", "--RandFlipd_prob", "--RandRotate90d_prob",
+    "--RandScaleIntensityd_prob", "--RandShiftIntensityd_prob", "--lrschedule",
+    "--warmup_epochs", "--resume_ckpt", "--resume_jit", "--smooth_dr", "--smooth_nr",
+    "--num_depths", "--infer_overlap", "--dropout_rate", "--model_depths",
+    "--model_name", "--patch_frame",
+]
+
+
+def test_parser_covers_reference_flags():
+    parser = build_train_parser("c_tunet")
+    known = set()
+    for action in parser._actions:
+        known.update(action.option_strings)
+    missing = [f for f in REFERENCE_FLAGS if f not in known]
+    assert not missing, f"missing reference flags: {missing}"
+
+
+def test_parser_defaults_match_reference():
+    args = build_train_parser("c_tunet").parse_args([])
+    assert args.max_epochs == 5000 and args.warmup_epochs == 50
+    assert args.optim_lr == 1e-4 and args.reg_weight == 1e-5
+    assert args.val_every == 100 and args.out_channels == 14
+    assert (args.space_x, args.space_y, args.space_z) == (1.5, 1.5, 2.0)
+    assert (args.a_min, args.a_max) == (-175.0, 250.0)
+    assert args.model_depths == 101 and args.model_name == "c_t_unet"
+    # main_CTUNet defaults (reference main_CTUNet.py:93-94)
+    args2 = build_train_parser("ctunet").parse_args([])
+    assert args2.model_depths == 50 and args2.model_name == "ctunet"
+    # test parsers add eval flags
+    args3 = build_test_parser("ctunet").parse_args([])
+    assert args3.exp_name == "test1"
+
+
+@pytest.mark.slow
+def test_train_cli_end_to_end(tmp_path):
+    """python main_C_TUNet.py --model_name=cunet on synthetic data: one epoch
+    of training + validation + best checkpoint, at tiny sizes."""
+    from hybrid_ctunet_tpu.cli.train_main import main
+    from hybrid_ctunet_tpu.data.synthetic import write_synthetic_dataset
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    json_path = write_synthetic_dataset(data_dir, n_train=2, n_val=1, shape=(64, 64, 32))
+    logdir = str(tmp_path / "logs")
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # runs/ + outputs/ land in tmp
+    try:
+        best = main(
+            "c_tunet",
+            [
+                "--model_name=cunet",
+                "--model_depths=50",
+                f"--data_dir={data_dir}",
+                f"--json_list={os.path.basename(json_path)}",
+                "--max_epochs=1",
+                "--val_every=1",
+                "--warmup_epochs=1",
+                "--roi_x=32", "--roi_y=32", "--roi_z=16",
+                "--out_channels=3",
+                "--save_checkpoint",
+                "--noamp",
+                f"--logdir=smoke",
+            ],
+        )
+    finally:
+        os.chdir(cwd)
+    assert "acc" in best
+    # checkpoint written on new best (dice > 0 happens even untrained rarely;
+    # accept either but the scalars log must exist)
+    assert os.path.exists(tmp_path / "runs" / "smoke" / "scalars.jsonl")
