@@ -1,0 +1,134 @@
+"""Headline benchmark: Hybrid-CTUNet ensemble sliding-window inference.
+
+Protocol (the reference's test_CTUNet_final.py:539-552 path, full size):
+- CTUNet (depth 101, pf 8, 174.8M params) sliding-window at 96^3, overlap 0.5
+- independent TUNet (109.9M) sliding-window at 96^3, overlap 0.7
+- gaussian blending, softmax-mean mask-complementation ensemble, argmax
+on one representative post-Spacingd BTCV volume (256 x 256 x 128 — a typical
+abdominal CT resampled to (1.5, 1.5, 2.0) mm), all fully jitted on device in
+bf16 compute (the TPU replacement for the reference's AMP autocast).
+
+Prints ONE JSON line:
+  {"metric": "volumes/min/chip", "value": N, "unit": "vol/min", "vs_baseline": R}
+
+vs_baseline is measured against an estimated A100 throughput for the
+reference PyTorch pipeline on the same protocol: ~150 windows/volume across
+the two models at roughly 0.7 TFLOP fwd each; torch-eager AMP conv3d at
+~35% tensor-core utilisation plus MONAI's per-4-window python loop and
+advanced-indexing accumulate lands near ~10 s/volume => ~6 volumes/min.
+(The reference publishes no numbers — BASELINE.md — so this estimate is the
+pinned denominator; the north-star target is >= 5x it.)
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_A100_VOL_PER_MIN = 6.0
+VOLUME_SHAPE = (256, 256, 128)
+ROI = (96, 96, 96)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from hybrid_ctunet_tpu.infer.sliding_window import SlidingWindowEngine
+    from hybrid_ctunet_tpu.models import CTUNet, TUNet
+    from hybrid_ctunet_tpu.utils.compilation_cache import enable as enable_cache
+
+    log(f"compilation cache: {enable_cache()}")
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    log(f"platform={platform} devices={len(jax.devices())}")
+
+    if on_tpu:
+        vol_shape, sw_batch = VOLUME_SHAPE, 8
+        ct_kwargs = dict(out_channels=14, model_depth=101, patch_frame=8)
+        tu_kwargs = dict(out_channels=14, patch_frame=8)
+        reps = 3
+    else:  # CPU smoke fallback: same code path, small enough to finish
+        vol_shape, sw_batch = (128, 128, 96), 2
+        ct_kwargs = dict(
+            out_channels=14, model_depth=50, patch_frame=8,
+            hidden_size=128, num_depths=2, mlp_dim=256, num_heads=4,
+        )
+        tu_kwargs = dict(
+            out_channels=14, patch_frame=8,
+            hidden_size=128, num_depths=2, mlp_dim=256, num_heads=4,
+        )
+        reps = 1
+
+    dtype = jnp.bfloat16
+    ctunet = CTUNet(dtype=dtype, **ct_kwargs)
+    tunet = TUNet(dtype=dtype, **tu_kwargs)
+
+    rng = jax.random.PRNGKey(0)
+    patch = jnp.zeros((1, *ROI, 1), dtype)
+    t0 = time.time()
+    ct_params = jax.jit(ctunet.init)(rng, patch)["params"]
+    tu_params = jax.jit(tunet.init)(rng, patch)["params"]
+    log(f"init {time.time() - t0:.1f}s")
+
+    def ct_fwd(x):
+        (res, _, _), (vit, _) = ctunet.apply({"params": ct_params}, x.astype(dtype))
+        return res, vit
+
+    def tu_fwd(x):
+        vit, _ = tunet.apply({"params": tu_params}, x.astype(dtype))
+        return vit
+
+    eng_ct = SlidingWindowEngine(
+        ct_fwd, ROI, sw_batch_size=sw_batch, overlap=0.5, mode="gaussian", num_outputs=2
+    )
+    eng_tu = SlidingWindowEngine(
+        tu_fwd, ROI, sw_batch_size=sw_batch, overlap=0.7, mode="gaussian", num_outputs=1
+    )
+
+    @jax.jit
+    def ensemble(res_map, tu_map):
+        # test_CTUNet_final.py:541-552: softmax each model, mean, argmax
+        p = (jax.nn.softmax(res_map, -1) + jax.nn.softmax(tu_map, -1)) / 2.0
+        return jnp.argmax(p, -1).astype(jnp.int32)
+
+    volume = jax.random.normal(jax.random.PRNGKey(1), (1, *vol_shape, 1), jnp.float32)
+
+    def one_volume():
+        res_map, _vit_map = eng_ct(volume)
+        (tu_map,) = eng_tu(volume)
+        mask = ensemble(res_map, tu_map)
+        return mask.block_until_ready()
+
+    t0 = time.time()
+    one_volume()
+    log(f"warmup(compile) {time.time() - t0:.1f}s")
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        one_volume()
+        times.append(time.time() - t0)
+    avg = sum(times) / len(times)
+    vol_per_min = 60.0 / avg
+    log(f"per-volume times: {[f'{t:.2f}' for t in times]} -> {vol_per_min:.2f} vol/min")
+
+    print(
+        json.dumps(
+            {
+                "metric": "volumes/min/chip",
+                "value": round(vol_per_min, 3),
+                "unit": "vol/min",
+                "vs_baseline": round(vol_per_min / BASELINE_A100_VOL_PER_MIN, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -23,3 +23,10 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# Persistent compilation cache: repeated test runs on this 1-core host skip
+# recompilation of the heavier model programs.
+from hybrid_ctunet_tpu.utils.compilation_cache import enable as _enable_cache
+
+_enable_cache()
