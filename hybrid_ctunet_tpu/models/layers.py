@@ -244,48 +244,59 @@ class PixelShuffleLinear(nn.Module):
         return Dense(self.features, dtype=self.dtype, name="to_out")(x)
 
 
+class _LNParams(nn.Module):
+    """Param-holder with LayerNorm's tree layout ({scale, bias})."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return w, b
+
+
+class _DenseParams(nn.Module):
+    """Param-holder with Dense's tree layout ({kernel})."""
+
+    shape: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32)
+
+
 class PixelweightFusion(nn.Module):
     """Binary cross-weight attention fusing two same-shape streams
     (reference pixelweight_attention, hybrid_CTUNet.py:622-669).
 
     Per voxel and head: scalar cross-dots <q2,k1> and <q1,k2> -> 2-way
-    softmax -> weighted sum of v1/v2 -> output projection. O(N*d): pure
-    VPU work plus four matmuls; an ideal Pallas fusion target.
+    softmax -> weighted sum of v1/v2 -> output projection. O(N*d) and
+    HBM-bound: routed through ops.pixelweight which fuses the whole chain
+    into one Pallas kernel on TPU (XLA composition elsewhere).
     """
 
     dim_head: int = 32
     dtype: jnp.dtype = jnp.float32
+    use_pallas: str | bool = "auto"
 
     @nn.compact
     def __call__(self, x1, x2):
         assert x1.shape == x2.shape, (x1.shape, x2.shape)
-        shape = x1.shape
-        C = shape[-1]
-        heads = C // self.dim_head
-        scale = self.dim_head ** -0.5
+        C = x1.shape[-1]
+        from ..ops.pixelweight import PixelweightParams, pixelweight_attention
 
-        h1 = LayerNorm(name="norm1")(x1)
-        h2 = LayerNorm(name="norm2")(x2)
-        qkv1 = Dense(3 * C, use_bias=False, dtype=self.dtype, name="to_qkv1")(h1)
-        qkv2 = Dense(3 * C, use_bias=False, dtype=self.dtype, name="to_qkv2")(h2)
-
-        def heads_split(t):
-            return t.reshape(*shape[:-1], heads, self.dim_head)
-
-        q1, k1, v1 = (heads_split(t) for t in jnp.split(qkv1, 3, axis=-1))
-        q2, k2, v2 = (heads_split(t) for t in jnp.split(qkv2, 3, axis=-1))
-
-        d1 = jnp.sum((q2 * k1).astype(jnp.float32), axis=-1) * scale
-        d2 = jnp.sum((q1 * k2).astype(jnp.float32), axis=-1) * scale
-        m = jnp.maximum(d1, d2)
-        e1 = jnp.exp(d1 - m)
-        e2 = jnp.exp(d2 - m)
-        denom = e1 + e2
-        w1 = (e1 / denom).astype(self.dtype)[..., None]
-        w2 = (e2 / denom).astype(self.dtype)[..., None]
-
-        out = (w1 * v1 + w2 * v2).reshape(*shape[:-1], C)
-        return Dense(C, use_bias=False, dtype=self.dtype, name="to_out")(out)
+        ln1w, ln1b = _LNParams(C, name="norm1")()
+        ln2w, ln2b = _LNParams(C, name="norm2")()
+        p = PixelweightParams(
+            ln1_scale=ln1w, ln1_bias=ln1b, ln2_scale=ln2w, ln2_bias=ln2b,
+            qkv1_kernel=_DenseParams((C, 3 * C), name="to_qkv1")(),
+            qkv2_kernel=_DenseParams((C, 3 * C), name="to_qkv2")(),
+            out_kernel=_DenseParams((C, C), name="to_out")(),
+        )
+        return pixelweight_attention(
+            x1, x2, p, dim_head=self.dim_head, dtype=self.dtype, use_pallas=self.use_pallas
+        )
 
 
 class ResBlock(nn.Module):

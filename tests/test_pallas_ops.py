@@ -1,0 +1,55 @@
+"""Pallas kernel parity tests (interpret mode on CPU; compiled on TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_ctunet_tpu.ops.pixelweight import (
+    PixelweightParams,
+    pixelweight_attention,
+    pixelweight_pallas,
+    pixelweight_reference,
+)
+
+
+def _params(rng, C):
+    g = rng
+    return PixelweightParams(
+        ln1_scale=jnp.asarray(g.standard_normal(C), jnp.float32),
+        ln1_bias=jnp.asarray(g.standard_normal(C), jnp.float32),
+        ln2_scale=jnp.asarray(g.standard_normal(C), jnp.float32),
+        ln2_bias=jnp.asarray(g.standard_normal(C), jnp.float32),
+        qkv1_kernel=jnp.asarray(g.standard_normal((C, 3 * C)) * 0.05, jnp.float32),
+        qkv2_kernel=jnp.asarray(g.standard_normal((C, 3 * C)) * 0.05, jnp.float32),
+        out_kernel=jnp.asarray(g.standard_normal((C, C)) * 0.05, jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("C,tile", [(64, 32), (128, 64)])
+def test_pixelweight_pallas_matches_reference(rng, C, tile):
+    shape = (1, 5, 4, 3, C)  # 60 tokens: forces ragged-tile padding
+    x1 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    p = _params(rng, C)
+    ref = pixelweight_reference(x1, x2, p)
+    fused = pixelweight_pallas(x1, x2, p, tile_n=tile, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_pixelweight_custom_vjp_grad_matches_reference(rng):
+    C = 64
+    shape = (1, 4, 4, 2, C)
+    x1 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    p = _params(rng, C)
+
+    def loss_fused(a, b, q):
+        return jnp.sum(pixelweight_attention(a, b, q, use_pallas=True) ** 2)
+
+    def loss_ref(a, b, q):
+        return jnp.sum(pixelweight_reference(a, b, q) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(x1, x2, p)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x1, x2, p)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4)
