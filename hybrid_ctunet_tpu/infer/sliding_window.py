@@ -89,7 +89,14 @@ def _pad_amounts(image_size: Sequence[int], roi_size: Sequence[int]):
 
 class SlidingWindowEngine:
     """Reusable jitted engine. Compiles once per (padded shape, window count);
-    the predictor's window batch shape is always static."""
+    the predictor's window batch shape is always static.
+
+    ``mesh``/``axis``: optional window-batch parallelism — the window-chunk
+    axis is sharded over the mesh via shard_map (each chip predicts its own
+    chunk subset and accumulates a local volume; one psum merges them). This
+    is the TPU-native way to scale whole-volume inference across chips
+    (SURVEY.md §5 "long-context": shard the window batch, not the sequence).
+    """
 
     def __init__(
         self,
@@ -101,6 +108,8 @@ class SlidingWindowEngine:
         mode: str = "gaussian",
         sigma_scale: float = 0.125,
         num_outputs: int = 1,
+        mesh=None,
+        axis: str = "data",
     ):
         self.predictor = predictor
         self.roi_size = tuple(int(r) for r in roi_size)
@@ -109,6 +118,8 @@ class SlidingWindowEngine:
         self.mode = mode
         self.sigma_scale = sigma_scale
         self.num_outputs = int(num_outputs)
+        self.mesh = mesh
+        self.axis = axis
         self._jitted = {}
 
     def _importance(self, patch_size) -> np.ndarray:
@@ -122,6 +133,9 @@ class SlidingWindowEngine:
         roi = self.roi_size
         sw = self.sw_batch_size
         n_chunks = -(-n_windows // sw)
+        if self.mesh is not None:
+            n_dev = self.mesh.shape[self.axis]
+            n_chunks = -(-n_chunks // n_dev) * n_dev  # chunk axis divisible
         n_padded = n_chunks * sw
 
         out_shapes = jax.eval_shape(
@@ -133,14 +147,10 @@ class SlidingWindowEngine:
             out_shapes = (out_shapes,)
         out_channels = tuple(o.shape[-1] for o in out_shapes)
 
-        @jax.jit
-        def run(padded, starts, valid, importance, *pred_args):
-            # padded: (1, X, Y, Z, C); starts: (n_padded, 3); valid: (n_padded,)
+        def accumulate(padded, chunk_starts, chunk_valid, importance, *pred_args):
+            # padded: (1, X, Y, Z, C); chunk_starts: (chunks, sw, 3)
             X, Y, Z = padded.shape[1:4]
             imp = importance[None, ..., None]  # (1, rx, ry, rz, 1)
-
-            chunk_starts = starts.reshape(n_chunks, sw, 3)
-            chunk_valid = valid.reshape(n_chunks, sw)
 
             def gather_one(s):
                 return jax.lax.dynamic_slice(
@@ -177,7 +187,47 @@ class SlidingWindowEngine:
                 return (new_accs, new_cnt), None
 
             (accs, cnt), _ = jax.lax.scan(body, (accs, cnt), (chunk_starts, chunk_valid))
-            return tuple(acc / cnt for acc in accs)
+            return accs, cnt
+
+        if self.mesh is None:
+
+            @jax.jit
+            def run(padded, starts, valid, importance, *pred_args):
+                chunk_starts = starts.reshape(n_chunks, sw, 3)
+                chunk_valid = valid.reshape(n_chunks, sw)
+                accs, cnt = accumulate(
+                    padded, chunk_starts, chunk_valid, importance, *pred_args
+                )
+                return tuple(acc / cnt for acc in accs)
+
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            axis = self.axis
+
+            def sharded(padded, chunk_starts, chunk_valid, importance, *pred_args):
+                accs, cnt = accumulate(
+                    padded, chunk_starts, chunk_valid, importance, *pred_args
+                )
+                accs = jax.lax.psum(accs, axis)
+                cnt = jax.lax.psum(cnt, axis)
+                return tuple(acc / cnt for acc in accs)
+
+            pred_specs = tuple(P() for _ in pred_args)
+            mapped = shard_map(
+                sharded,
+                mesh=self.mesh,
+                in_specs=(P(), P(axis), P(axis), P()) + pred_specs,
+                out_specs=tuple(P() for _ in out_channels),
+                check_vma=False,
+            )
+
+            @jax.jit
+            def run(padded, starts, valid, importance, *pred_args):
+                chunk_starts = starts.reshape(n_chunks, sw, 3)
+                chunk_valid = valid.reshape(n_chunks, sw)
+                return mapped(padded, chunk_starts, chunk_valid, importance, *pred_args)
 
         return run, n_padded
 
