@@ -4,6 +4,7 @@ largest-connected-component postprocessing, and the dice.txt report writer
 test_CTUNet.py:219-326)."""
 from .metrics import (
     BTCV_ORGANS,
+    process_label,
     dice_score,
     hd95,
     per_organ_dice,
@@ -19,6 +20,7 @@ from .report import write_dice_report
 
 __all__ = [
     "BTCV_ORGANS",
+    "process_label",
     "dice_score",
     "hd95",
     "per_organ_dice",

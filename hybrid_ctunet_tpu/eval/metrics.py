@@ -38,6 +38,12 @@ BTCV_ORGANS = (
 N_CLASSES = 14  # 13 organs + background
 
 
+def process_label(label: np.ndarray):
+    """Split a label volume into the 13 per-organ boolean masks
+    (reference test_CTUNet_final.py:83-97)."""
+    return tuple(label == c for c in range(1, N_CLASSES))
+
+
 def dice_score(x: np.ndarray, y: np.ndarray) -> float:
     """Binary dice with the reference's empty-mask semantics
     (utils/utils.py:16-22): y empty and x empty -> 1 is NOT what the
