@@ -63,13 +63,30 @@ class Bottleneck(nn.Module):
         return leaky_relu(out + residual)
 
 
+class _ScanBottleneck(nn.Module):
+    """scan-compatible identity-shape bottleneck: (carry, _) -> (carry, None)."""
+
+    planes: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, _):
+        return Bottleneck(self.planes, 1, dtype=self.dtype, name="block")(h), None
+
+
 class ResNet3D(nn.Module):
-    """Four-stage bottleneck encoder returning the stage pyramid."""
+    """Four-stage bottleneck encoder returning the stage pyramid.
+
+    ``scan_blocks``: each stage's identical tail blocks (stride 1, no
+    projection — e.g. 29 of 33 blocks at depth 101) run under one
+    ``nn.scan`` with depth-stacked params, shrinking trace/compile time
+    several-fold with identical math."""
 
     model_depth: int = 50
     ds_stride: Tuple[Tuple[int, int, int], ...] = ((2, 2, 1), (2, 2, 2), (2, 2, 2), (2, 2, 2))
     conv1_t_size: int = 7
     in_stem: int = 64
+    scan_blocks: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -91,12 +108,22 @@ class ResNet3D(nn.Module):
         for stage, (planes, blocks, stride) in enumerate(
             zip(BLOCK_INPLANES, layers, stage_strides)
         ):
-            for b in range(blocks):
-                h = Bottleneck(
-                    planes,
-                    stride if b == 0 else 1,
-                    dtype=self.dtype,
-                    name=f"layer{stage + 1}_block{b}",
-                )(h)
+            h = Bottleneck(
+                planes, stride, dtype=self.dtype, name=f"layer{stage + 1}_block0"
+            )(h)
+            if self.scan_blocks and blocks > 1:
+                Tail = nn.scan(
+                    _ScanBottleneck,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    length=blocks - 1,
+                    metadata_params={nn.PARTITION_NAME: None},
+                )
+                h, _ = Tail(planes, dtype=self.dtype, name=f"layer{stage + 1}_tail")(h, None)
+            else:
+                for b in range(1, blocks):
+                    h = Bottleneck(
+                        planes, 1, dtype=self.dtype, name=f"layer{stage + 1}_block{b}"
+                    )(h)
             features.append(h)
         return features

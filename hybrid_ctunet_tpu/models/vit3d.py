@@ -66,6 +66,21 @@ class TransformerBlock(nn.Module):
         return x
 
 
+class _ScanBlock(nn.Module):
+    """scan-compatible wrapper: (carry, _) -> (carry, None)."""
+
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, _):
+        x = ViTAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn")(x) + x
+        x = FeedForward(hidden_dim=self.mlp_dim, dtype=self.dtype, name="ff")(x) + x
+        return x, None
+
+
 class ViT3D(nn.Module):
     """Volumetric ViT over channels-last input (B, X, Y, Z, C)."""
 
@@ -79,6 +94,7 @@ class ViT3D(nn.Module):
     dim_head: int = 64
     mlp_dim: int = 3072
     dropout: float = 0.0
+    scan_layers: bool = True  # lax.scan over the depth: one traced block
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -108,8 +124,23 @@ class ViT3D(nn.Module):
         if self.dropout > 0.0:
             t = nn.Dropout(self.dropout)(t, deterministic=deterministic)
 
-        for i in range(self.depth):
-            t = TransformerBlock(
-                self.heads, self.dim_head, self.mlp_dim, dtype=self.dtype, name=f"block{i}"
-            )(t)
+        if self.scan_layers:
+            # One compiled block body for all `depth` layers (params stacked
+            # on a leading axis) — cuts trace/compile time ~depth-fold, which
+            # matters for the 174M CTUNet sliding-window program.
+            Blocks = nn.scan(
+                _ScanBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.depth,
+                metadata_params={nn.PARTITION_NAME: None},
+            )
+            t, _ = Blocks(
+                self.heads, self.dim_head, self.mlp_dim, dtype=self.dtype, name="blocks"
+            )(t, None)
+        else:
+            for i in range(self.depth):
+                t = TransformerBlock(
+                    self.heads, self.dim_head, self.mlp_dim, dtype=self.dtype, name=f"block{i}"
+                )(t)
         return t  # (B, N, dim), token order (h w f)

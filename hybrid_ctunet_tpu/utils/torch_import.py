@@ -100,19 +100,39 @@ def _head(tree, dst, sd, src):
     _conv3d(tree, f"{dst}/conv", sd, f"{src}.conv.conv", bias=True)
 
 
-def _vit(tree, dst, sd, src, depth=12):
+def _vit(tree, dst, sd, src, depth=12, scan_layers=True):
     _ln(tree, f"{dst}/patch_norm1", sd, f"{src}.to_patch_embedding.1")
     _dense(tree, f"{dst}/patch_proj", sd, f"{src}.to_patch_embedding.2")
     _ln(tree, f"{dst}/patch_norm2", sd, f"{src}.to_patch_embedding.3")
     _set(tree, f"{dst}/pos_embedding", sd[f"{src}.pos_embedding"])
+    per_block = []
     for i in range(depth):
         b = f"{src}.transformer.{i}"
-        _ln(tree, f"{dst}/block{i}/attn/norm", sd, f"{b}.attn.norm")
-        _dense(tree, f"{dst}/block{i}/attn/to_qkv", sd, f"{b}.attn.to_qkv", bias=False)
-        _dense(tree, f"{dst}/block{i}/attn/to_out", sd, f"{b}.attn.to_out.0")
-        _ln(tree, f"{dst}/block{i}/ff/norm", sd, f"{b}.ff.net.0")
-        _dense(tree, f"{dst}/block{i}/ff/fc1", sd, f"{b}.ff.net.1")
-        _dense(tree, f"{dst}/block{i}/ff/fc2", sd, f"{b}.ff.net.4")
+        bt: dict = {}
+        _ln(bt, "attn/norm", sd, f"{b}.attn.norm")
+        _dense(bt, "attn/to_qkv", sd, f"{b}.attn.to_qkv", bias=False)
+        _dense(bt, "attn/to_out", sd, f"{b}.attn.to_out.0")
+        _ln(bt, "ff/norm", sd, f"{b}.ff.net.0")
+        _dense(bt, "ff/fc1", sd, f"{b}.ff.net.1")
+        _dense(bt, "ff/fc2", sd, f"{b}.ff.net.4")
+        per_block.append(bt)
+    if scan_layers:
+        # ViT3D(scan_layers=True): identical blocks run under nn.scan with
+        # params stacked on a leading depth axis.
+        import jax
+
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *per_block)
+        _set_tree(tree, f"{dst}/blocks", stacked)
+    else:
+        for i, bt in enumerate(per_block):
+            _set_tree(tree, f"{dst}/block{i}", bt)
+
+
+def _set_tree(tree: dict, path: str, subtree: dict):
+    node = tree
+    for p in path.split("/"):
+        node = node.setdefault(p, {})
+    node.update(subtree)
 
 
 def _window_attn(tree, dst, sd, src):
@@ -148,16 +168,29 @@ def _up_attention(tree, dst, sd, src):
         _dense(tree, f"{dst}/stage{ind}_shuffle/to_out", sd, f"{shuffle}.to_out")
 
 
-def _resnet(tree, dst, sd, src, layers):
+def _resnet(tree, dst, sd, src, layers, scan_blocks=True):
     _conv3d(tree, f"{dst}/conv1", sd, f"{src}.conv1.conv")
     for stage, blocks in enumerate(layers, start=1):
+        per_block = []
         for b in range(blocks):
             tsrc = f"{src}.layer{stage}.{b}"
-            tdst = f"{dst}/layer{stage}_block{b}"
+            bt: dict = {}
             for j in (1, 2, 3):
-                _conv3d(tree, f"{tdst}/conv{j}", sd, f"{tsrc}.conv{j}.conv")
+                _conv3d(bt, f"conv{j}", sd, f"{tsrc}.conv{j}.conv")
             if f"{tsrc}.downsample.0.conv.weight" in sd:
-                _conv3d(tree, f"{tdst}/downsample_conv", sd, f"{tsrc}.downsample.0.conv")
+                _conv3d(bt, "downsample_conv", sd, f"{tsrc}.downsample.0.conv")
+            per_block.append(bt)
+        _set_tree(tree, f"{dst}/layer{stage}_block0", per_block[0])
+        if scan_blocks and blocks > 1:
+            # ResNet3D(scan_blocks=True): tail blocks stacked under nn.scan
+            # as layer{k}_tail/block with a leading depth axis.
+            import jax
+
+            stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *per_block[1:])
+            _set_tree(tree, f"{dst}/layer{stage}_tail/block", stacked)
+        else:
+            for b, bt in enumerate(per_block[1:], start=1):
+                _set_tree(tree, f"{dst}/layer{stage}_block{b}", bt)
 
 
 _RESNET_LAYERS = {50: (3, 4, 6, 3), 101: (8, 9, 13, 3), 152: (8, 9, 30, 3), 200: (8, 25, 30, 3)}
