@@ -61,7 +61,9 @@ def main_worker(args):
         optim_lr=args.optim_lr,
         lrschedule=args.lrschedule,
         roi_size=(args.roi_x, args.roi_y, args.roi_z),
-        sw_batch_size=max(args.sw_batch_size, 1),
+        # the reference *ignores* --sw_batch_size during validation and
+        # hardcodes 4 (trainer_CTUNet.py:189); keep that behavior
+        sw_batch_size=4,
         infer_overlap=args.infer_overlap,
         logdir=os.path.join("./runs", args.logdir),
         out_channels=args.out_channels,

@@ -64,18 +64,23 @@ LOSS_FNS = {"cunet": cunet_loss_fn, "tunet": tunet_loss_fn, "ctunet": ctunet_los
 
 
 def make_train_step(model_name: str, *, smooth_nr: float = 0.0, smooth_dr: float = 1e-6,
-                    pmean_axis: str | None = None) -> Callable:
+                    pmean_axis: str | None = None, remat: bool = False) -> Callable:
     """Build a jittable (state, image, label, lr) -> (state, metrics) step.
 
     ``pmean_axis``: when running under shard_map over a data mesh axis, the
     gradients/metrics are psum-averaged over that axis (the DDP allreduce
     equivalent; reference main_C_TUNet.py:196-198 + utils/utils.py:42-69).
+    ``remat``: rematerialize the forward in the backward pass
+    (jax.checkpoint) — trades FLOPs for HBM, enabling larger crops/batches.
     """
     loss_impl = LOSS_FNS[model_name]
 
     def train_step(state: TrainState, image, label, lr):
         def loss_fn(params):
-            outs = state.apply_fn({"params": params}, image)
+            apply = state.apply_fn
+            if remat:
+                apply = jax.checkpoint(apply)
+            outs = apply({"params": params}, image)
             return loss_impl(outs, label, smooth_nr=smooth_nr, smooth_dr=smooth_dr)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

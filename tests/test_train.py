@@ -111,3 +111,27 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     fresh = restore_train_state(fresh, restored)
     for a, b in zip(jax.tree.leaves(fresh.params), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_remat_step_matches_plain():
+    """jax.checkpoint remat trades FLOPs for memory with identical math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from hybrid_ctunet_tpu.models import CUNet
+    from hybrid_ctunet_tpu.train.state import create_train_state
+    from hybrid_ctunet_tpu.train.steps import make_train_step
+
+    g = np.random.default_rng(0)
+    image = jnp.asarray(g.standard_normal((1, 16, 16, 8, 1)), jnp.float32)
+    label = jnp.asarray(g.integers(0, 3, (1, 16, 16, 8, 1)), jnp.float32)
+    model = CUNet(out_channels=3, model_depth=50)
+    s0 = create_train_state(model, jax.random.PRNGKey(0), image)
+
+    plain = jax.jit(make_train_step("cunet"))
+    remat = jax.jit(make_train_step("cunet", remat=True))
+    s1, m1 = plain(s0, image, label, 1e-3)
+    s2, m2 = remat(s0, image, label, 1e-3)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
