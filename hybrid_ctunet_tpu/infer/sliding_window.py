@@ -110,7 +110,18 @@ class SlidingWindowEngine:
         num_outputs: int = 1,
         mesh=None,
         axis: str = "data",
+        strategy: str = "loop",
     ):
+        """``strategy``:
+        - "loop" (default): ONE small jitted program per chunk (gather +
+          predict + scatter with donated accumulators), dispatched from a
+          Python loop — dispatches are async so the device stays busy, and
+          the compiled program stays model-sized. Required on backends whose
+          compile service rejects giant programs (the axon remote-compile
+          tunnel) and faster to compile everywhere.
+        - "scan": the whole volume pass as one jitted lax.scan program
+          (fewest dispatches; used by the mesh-sharded path).
+        """
         self.predictor = predictor
         self.roi_size = tuple(int(r) for r in roi_size)
         self.sw_batch_size = int(sw_batch_size)
@@ -120,6 +131,7 @@ class SlidingWindowEngine:
         self.num_outputs = int(num_outputs)
         self.mesh = mesh
         self.axis = axis
+        self.strategy = "scan" if mesh is not None else strategy
         self._jitted = {}
 
     def _importance(self, patch_size) -> np.ndarray:
@@ -189,7 +201,59 @@ class SlidingWindowEngine:
             (accs, cnt), _ = jax.lax.scan(body, (accs, cnt), (chunk_starts, chunk_valid))
             return accs, cnt
 
-        if self.mesh is None:
+        if self.strategy == "loop":
+            X, Y, Z = padded_shape
+
+            def gather_one(padded, s):
+                return jax.lax.dynamic_slice(
+                    padded, (0, s[0], s[1], s[2], 0), (1, *roi, padded.shape[-1])
+                )[0]
+
+            def scatter(acc, contrib, s):
+                def one(i, acc):
+                    cur = jax.lax.dynamic_slice(
+                        acc, (s[i, 0], s[i, 1], s[i, 2], 0), (*roi, acc.shape[-1])
+                    )
+                    return jax.lax.dynamic_update_slice(
+                        acc, cur + contrib[i], (s[i, 0], s[i, 1], s[i, 2], 0)
+                    )
+
+                return jax.lax.fori_loop(0, sw, one, acc)
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def chunk_step(accs, cnt, padded, s, v, importance, *pred_args):
+                # s: (sw, 3); v: (sw,) — one model-sized program reused for
+                # every chunk; accumulators donated (updated in place).
+                imp = importance[None, ..., None]
+                wins = jax.vmap(gather_one, in_axes=(None, 0))(padded, s)
+                preds = self.predictor(wins, *pred_args)
+                preds = preds if isinstance(preds, (tuple, list)) else (preds,)
+                w_imp = imp * v[:, None, None, None, None]
+                accs = tuple(
+                    scatter(acc, w_imp * p.astype(jnp.float32), s)
+                    for acc, p in zip(accs, preds)
+                )
+                cnt = scatter(cnt, jnp.broadcast_to(w_imp, (sw, *roi, 1)), s)
+                return accs, cnt
+
+            @jax.jit
+            def finalize(accs, cnt):
+                return tuple(acc / cnt for acc in accs)
+
+            def run(padded, starts, valid, importance, *pred_args):
+                accs = tuple(jnp.zeros((X, Y, Z, c), jnp.float32) for c in out_channels)
+                cnt = jnp.zeros((X, Y, Z, 1), jnp.float32)
+                chunk_starts = np.asarray(starts).reshape(n_chunks, sw, 3)
+                chunk_valid = np.asarray(valid).reshape(n_chunks, sw)
+                for ci in range(n_chunks):
+                    accs, cnt = chunk_step(
+                        accs, cnt, padded,
+                        jnp.asarray(chunk_starts[ci]), jnp.asarray(chunk_valid[ci]),
+                        importance, *pred_args,
+                    )
+                return finalize(accs, cnt)
+
+        elif self.mesh is None:
 
             @jax.jit
             def run(padded, starts, valid, importance, *pred_args):

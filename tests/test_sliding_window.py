@@ -137,3 +137,23 @@ def test_sharded_engine_matches_single_device():
     (a,) = single(vol, w)
     (b,) = sharded(vol, w)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5)
+
+
+def test_loop_strategy_matches_scan():
+    import jax.numpy as jnp
+    import numpy as np
+    from hybrid_ctunet_tpu.infer.sliding_window import SlidingWindowEngine
+
+    g = np.random.default_rng(7)
+    vol = jnp.asarray(g.standard_normal((1, 20, 24, 12, 1)), jnp.float32)
+    w = jnp.asarray(g.standard_normal((1, 2)), jnp.float32)
+
+    def predictor(x, w):
+        return x * w[0, 0] + w[0, 1]
+
+    kw = dict(sw_batch_size=3, overlap=0.5, mode="gaussian")
+    scan_eng = SlidingWindowEngine(predictor, (8, 8, 8), strategy="scan", **kw)
+    loop_eng = SlidingWindowEngine(predictor, (8, 8, 8), strategy="loop", **kw)
+    (a,) = scan_eng(vol, w)
+    (b,) = loop_eng(vol, w)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6, rtol=1e-6)
