@@ -13,6 +13,13 @@ import os
 def enable(cache_dir: str | None = None) -> str:
     import jax
 
+    if cache_dir is None and jax.default_backend() == "cpu":
+        # CPU AOT artifacts are host-machine-feature specific (loading them
+        # on a different host can SIGILL) — scope the CPU cache per host
+        # under /tmp instead of the repo directory.
+        import socket
+
+        cache_dir = f"/tmp/hybrid_ctunet_jax_cache_{socket.gethostname()}"
     cache_dir = cache_dir or os.environ.get(
         "HYBRID_CTUNET_CACHE", os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
     )
