@@ -103,7 +103,10 @@ def main():
         res_map, _vit_map = eng_ct(volume)
         (tu_map,) = eng_tu(volume)
         mask = ensemble(res_map, tu_map)
-        return mask.block_until_ready()
+        # force a scalar D2H: on the axon tunnel block_until_ready returns
+        # before execution finishes — only a fetch truly synchronizes
+        float(mask[0, 0, 0, 0])
+        return mask
 
     t0 = time.time()
     one_volume()
