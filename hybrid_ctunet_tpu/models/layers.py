@@ -26,7 +26,7 @@ import numpy as np
 
 from ..ops.act import gelu_exact, leaky_relu
 from ..ops.conv import conv3d_same, conv_transpose3d_same
-from ..ops.norm import instance_norm, layer_norm
+from ..ops.norm import instance_norm, instance_norm_leaky, layer_norm
 
 
 def _triple(v) -> Tuple[int, int, int]:
@@ -315,8 +315,7 @@ class ResBlock(nn.Module):
         needs_proj = cin != self.features or any(s != 1 for s in stride)
 
         out = Conv3d(self.features, self.kernel_size, self.stride, dtype=self.dtype, name="conv1")(x)
-        out = instance_norm(out)
-        out = leaky_relu(out)
+        out = instance_norm_leaky(out)
         out = Conv3d(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv2")(out)
         out = instance_norm(out)
 

@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.act import leaky_relu
-from ..ops.norm import instance_norm
+from ..ops.norm import instance_norm, instance_norm_leaky
 from .layers import Conv3d
 
 LAYER_COUNTS = {
@@ -50,9 +50,9 @@ class Bottleneck(nn.Module):
         stride = (self.stride,) * 3 if isinstance(self.stride, int) else tuple(self.stride)
 
         out = Conv3d(self.planes, 1, 1, dtype=self.dtype, name="conv1")(x)
-        out = leaky_relu(instance_norm(out))
+        out = instance_norm_leaky(out)
         out = Conv3d(self.planes, 3, stride, dtype=self.dtype, name="conv2")(out)
-        out = leaky_relu(instance_norm(out))
+        out = instance_norm_leaky(out)
         out = Conv3d(cout, 1, 1, dtype=self.dtype, name="conv3")(out)
         out = instance_norm(out)
 
@@ -101,7 +101,7 @@ class ResNet3D(nn.Module):
             self.in_stem, (7, 7, self.conv1_t_size), self.ds_stride[0], dtype=self.dtype,
             name="conv1",
         )(x)
-        h = leaky_relu(instance_norm(h))
+        h = instance_norm_leaky(h)
 
         features = []
         stage_strides = (1, self.ds_stride[1], self.ds_stride[2], self.ds_stride[3])

@@ -15,6 +15,19 @@ import jax
 import jax.numpy as jnp
 
 
+import os
+
+# Opt-in fused Pallas instance-norm(+leaky) for the conv paths; flipped on by
+# setting HYBRID_CTUNET_PALLAS_NORM=1 (kept off by default until the fused
+# kernel measures faster than XLA's fusion on the target chip).
+_PALLAS_NORM = os.environ.get("HYBRID_CTUNET_PALLAS_NORM", "0") == "1"
+
+
+def set_pallas_norms(enabled: bool) -> None:
+    global _PALLAS_NORM
+    _PALLAS_NORM = enabled
+
+
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """Affine-free instance norm: normalize each (batch, channel) over space.
 
@@ -25,6 +38,18 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     return y.astype(x.dtype)
+
+
+def instance_norm_leaky(x: jax.Array, eps: float = 1e-5, negative_slope: float = 0.01):
+    """IN + LeakyReLU — the conv-path epilogue; routes to the fused Pallas
+    kernel when enabled (ops/norm_pallas.py)."""
+    if _PALLAS_NORM:
+        from .norm_pallas import instance_norm_act
+
+        return instance_norm_act(x, eps=eps, negative_slope=negative_slope, act=True)
+    from .act import leaky_relu
+
+    return leaky_relu(instance_norm(x, eps), negative_slope)
 
 
 def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float = 1e-5) -> jax.Array:

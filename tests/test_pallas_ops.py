@@ -53,3 +53,29 @@ def test_pixelweight_custom_vjp_grad_matches_reference(rng):
     gr = jax.grad(loss_ref, argnums=(0, 1))(x1, x2, p)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4)
+
+
+def test_fused_instance_norm_matches_reference(rng):
+    import jax
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu.ops.norm_pallas import fused_instance_norm_pallas, reference
+
+    x = jnp.asarray(rng.standard_normal((2, 7, 6, 5, 16)) * 3 + 1, jnp.float32)
+    ref = reference(x)
+    out = fused_instance_norm_pallas(x, tile_s=64, interpret=True)  # ragged pad
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+    # no-activation variant
+    ref2 = reference(x, act=False)
+    out2 = fused_instance_norm_pallas(x, act=False, tile_s=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_instance_norm_grad(rng):
+    import jax
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu.ops.norm_pallas import instance_norm_act, reference
+
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 4, 8)), jnp.float32)
+    g1 = jax.grad(lambda a: jnp.sum(instance_norm_act(a, use_pallas=True) ** 2))(x)
+    g2 = jax.grad(lambda a: jnp.sum(reference(a) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5, rtol=1e-5)
