@@ -220,14 +220,20 @@ class SlidingWindowEngine:
 
                 return jax.lax.fori_loop(0, sw, one, acc)
 
+            # Three SEPARATE small programs (the remote-compile tunnel fails
+            # on programs combining the model with big-buffer scatter):
+            # gather windows / model forward / weighted scatter-add.
+            @jax.jit
+            def gather(padded, s):
+                return jax.vmap(gather_one, in_axes=(None, 0))(padded, s)
+
+            predict = jax.jit(
+                lambda wins, *pa: self.predictor(wins, *pa)
+            )
+
             @partial(jax.jit, donate_argnums=(0, 1))
-            def chunk_step(accs, cnt, padded, s, v, importance, *pred_args):
-                # s: (sw, 3); v: (sw,) — one model-sized program reused for
-                # every chunk; accumulators donated (updated in place).
+            def accumulate_chunk(accs, cnt, preds, s, v, importance):
                 imp = importance[None, ..., None]
-                wins = jax.vmap(gather_one, in_axes=(None, 0))(padded, s)
-                preds = self.predictor(wins, *pred_args)
-                preds = preds if isinstance(preds, (tuple, list)) else (preds,)
                 w_imp = imp * v[:, None, None, None, None]
                 accs = tuple(
                     scatter(acc, w_imp * p.astype(jnp.float32), s)
@@ -246,11 +252,12 @@ class SlidingWindowEngine:
                 chunk_starts = np.asarray(starts).reshape(n_chunks, sw, 3)
                 chunk_valid = np.asarray(valid).reshape(n_chunks, sw)
                 for ci in range(n_chunks):
-                    accs, cnt = chunk_step(
-                        accs, cnt, padded,
-                        jnp.asarray(chunk_starts[ci]), jnp.asarray(chunk_valid[ci]),
-                        importance, *pred_args,
-                    )
+                    s = jnp.asarray(chunk_starts[ci])
+                    v = jnp.asarray(chunk_valid[ci])
+                    wins = gather(padded, s)
+                    preds = predict(wins, *pred_args)
+                    preds = preds if isinstance(preds, (tuple, list)) else (preds,)
+                    accs, cnt = accumulate_chunk(accs, cnt, preds, s, v, importance)
                 return finalize(accs, cnt)
 
         elif self.mesh is None:
