@@ -44,7 +44,10 @@ def get_loader(args, *, num_replicas: int = 1, rank: int = 0):
 
     train_files = load_decathlon_datalist(json_path, data_list_key="training",
                                           base_dir=args.data_dir)
-    train_ds = CachedDataset(train_files, cache_num=24, resample_labels=True, **kw)
+    # --use_normal_dataset: uncached (reload+preprocess per epoch), matching
+    # the reference's monai Dataset fallback (data_utils.py:190-195)
+    cache_num = 0 if getattr(args, "use_normal_dataset", False) else 24
+    train_ds = CachedDataset(train_files, cache_num=cache_num, resample_labels=True, **kw)
     sampler = None
     if getattr(args, "distributed", False) or num_replicas > 1:
         sampler = ShardSampler(len(train_ds), num_replicas, rank, shuffle=True, make_even=True)
