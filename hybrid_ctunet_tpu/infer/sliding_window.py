@@ -111,6 +111,7 @@ class SlidingWindowEngine:
         mesh=None,
         axis: str = "data",
         strategy: str = "loop",
+        canvas_bucket: int = 64,
     ):
         """``strategy``:
         - "loop" (default): ONE small jitted program per chunk (gather +
@@ -121,6 +122,14 @@ class SlidingWindowEngine:
           tunnel) and faster to compile everywhere.
         - "scan": the whole volume pass as one jitted lax.scan program
           (fewest dispatches; used by the mesh-sharded path).
+
+        ``canvas_bucket``: round the accumulation canvas up to multiples of
+        this (0 = off). The window grid is still computed from the TRUE
+        padded volume size, so blending numerics are bit-identical to the
+        unbucketed path — the canvas merely carries unused margins. This
+        caps the number of distinct compiled scatter/finalize programs
+        across a dataset of varying volume shapes (each fresh shape
+        otherwise costs a full remote compile).
         """
         self.predictor = predictor
         self.roi_size = tuple(int(r) for r in roi_size)
@@ -132,6 +141,7 @@ class SlidingWindowEngine:
         self.mesh = mesh
         self.axis = axis
         self.strategy = "scan" if mesh is not None else strategy
+        self.canvas_bucket = int(canvas_bucket)
         self._jitted = {}
 
     def _importance(self, patch_size) -> np.ndarray:
@@ -144,7 +154,7 @@ class SlidingWindowEngine:
     def _build(self, padded_shape, n_windows, n_channels_in, pred_args):
         roi = self.roi_size
         sw = self.sw_batch_size
-        n_chunks = -(-n_windows // sw)
+        n_chunks = -(-n_windows // sw) if n_windows else 1
         if self.mesh is not None:
             n_dev = self.mesh.shape[self.axis]
             n_chunks = -(-n_chunks // n_dev) * n_dev  # chunk axis divisible
@@ -247,11 +257,14 @@ class SlidingWindowEngine:
                 return tuple(acc / cnt for acc in accs)
 
             def run(padded, starts, valid, importance, *pred_args):
+                # n_chunks is a Python quantity here — the compiled programs
+                # are independent of it, so one build serves every window
+                # count on this canvas shape.
                 accs = tuple(jnp.zeros((X, Y, Z, c), jnp.float32) for c in out_channels)
                 cnt = jnp.zeros((X, Y, Z, 1), jnp.float32)
-                chunk_starts = np.asarray(starts).reshape(n_chunks, sw, 3)
-                chunk_valid = np.asarray(valid).reshape(n_chunks, sw)
-                for ci in range(n_chunks):
+                chunk_starts = np.asarray(starts).reshape(-1, sw, 3)
+                chunk_valid = np.asarray(valid).reshape(-1, sw)
+                for ci in range(len(chunk_starts)):
                     s = jnp.asarray(chunk_starts[ci])
                     v = jnp.asarray(chunk_valid[ci])
                     wins = gather(padded, s)
@@ -314,18 +327,43 @@ class SlidingWindowEngine:
         image_size = volume.shape[1:4]
         lo, hi = _pad_amounts(image_size, self.roi_size)
         padded_size = tuple(i + l + h for i, l, h in zip(image_size, lo, hi))
-        pad_cfg = [(0, 0), (lo[0], hi[0]), (lo[1], hi[1]), (lo[2], hi[2]), (0, 0)]
-        padded = jnp.pad(volume, pad_cfg)
 
+        # the window grid always comes from the TRUE padded size (reference
+        # semantics); the canvas may be bucket-rounded beyond it
         interval = get_scan_interval(padded_size, self.roi_size, self.overlap)
         starts = dense_patch_starts(padded_size, self.roi_size, interval)
         n = len(starts)
 
-        key = (padded_size, n, volume.shape[-1])
-        if key not in self._jitted:
-            self._jitted[key] = self._build(padded_size, n, volume.shape[-1], pred_args)
-        run, n_padded = self._jitted[key]
+        canvas_size = padded_size
+        if self.strategy == "loop" and self.canvas_bucket > 0:
+            b = self.canvas_bucket
+            canvas_size = tuple(-(-d // b) * b for d in padded_size)
+        pad_cfg = [
+            (0, 0),
+            (lo[0], hi[0] + canvas_size[0] - padded_size[0]),
+            (lo[1], hi[1] + canvas_size[1] - padded_size[1]),
+            (lo[2], hi[2] + canvas_size[2] - padded_size[2]),
+            (0, 0),
+        ]
+        padded = jnp.pad(volume, pad_cfg)
 
+        if self.strategy == "loop":
+            # programs are window-count independent: key on canvas only
+            key = (canvas_size, volume.shape[-1])
+            n_for_build = 0
+        else:
+            key = (canvas_size, n, volume.shape[-1])
+            n_for_build = n
+        if key not in self._jitted:
+            self._jitted[key] = self._build(canvas_size, n_for_build, volume.shape[-1], pred_args)
+        run, _ = self._jitted[key]
+
+        sw = self.sw_batch_size
+        n_chunks = -(-n // sw)
+        if self.mesh is not None:
+            n_dev = self.mesh.shape[self.axis]
+            n_chunks = -(-n_chunks // n_dev) * n_dev
+        n_padded = n_chunks * sw
         starts_p = np.zeros((n_padded, 3), np.int32)
         starts_p[:n] = starts
         valid = np.zeros((n_padded,), np.float32)

@@ -157,3 +157,29 @@ def test_loop_strategy_matches_scan():
     (a,) = scan_eng(vol, w)
     (b,) = loop_eng(vol, w)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6, rtol=1e-6)
+
+
+def test_canvas_bucketing_is_numerically_identical():
+    """Bucket-rounded canvas must not change blending numerics, and a second
+    volume of a different shape must reuse the same build (cache key)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from hybrid_ctunet_tpu.infer.sliding_window import SlidingWindowEngine
+
+    g = np.random.default_rng(11)
+
+    def predictor(x):
+        return jnp.concatenate([x * 2.0, -x], axis=-1)
+
+    kw = dict(sw_batch_size=2, overlap=0.5, mode="gaussian")
+    exact = SlidingWindowEngine(predictor, (8, 8, 8), canvas_bucket=0, **kw)
+    bucketed = SlidingWindowEngine(predictor, (8, 8, 8), canvas_bucket=32, **kw)
+
+    for shape in [(1, 21, 18, 9, 1), (1, 30, 25, 14, 1)]:
+        vol = jnp.asarray(g.standard_normal(shape), jnp.float32)
+        (a,) = exact(vol)
+        (b,) = bucketed(vol)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6, rtol=1e-6)
+    # both shapes round to the same 32-canvas -> single cached build
+    assert len(bucketed._jitted) == 1
+    assert len(exact._jitted) == 2
