@@ -76,12 +76,15 @@ def main():
     tu_params = jax.jit(tunet.init)(rng, patch)["params"]
     log(f"init {time.time() - t0:.1f}s")
 
-    def ct_fwd(x):
-        (res, _, _), (vit, _) = ctunet.apply({"params": ct_params}, x.astype(dtype))
+    # params are passed at CALL time (engine pred_args) — closing over them
+    # would embed 700MB of constants into the HLO and blow the remote
+    # compiler's request-size limit (HTTP 413)
+    def ct_fwd(x, params):
+        (res, _, _), (vit, _) = ctunet.apply({"params": params}, x.astype(dtype))
         return res, vit
 
-    def tu_fwd(x):
-        vit, _ = tunet.apply({"params": tu_params}, x.astype(dtype))
+    def tu_fwd(x, params):
+        vit, _ = tunet.apply({"params": params}, x.astype(dtype))
         return vit
 
     eng_ct = SlidingWindowEngine(
@@ -100,8 +103,8 @@ def main():
     volume = jax.random.normal(jax.random.PRNGKey(1), (1, *vol_shape, 1), jnp.float32)
 
     def one_volume():
-        res_map, _vit_map = eng_ct(volume)
-        (tu_map,) = eng_tu(volume)
+        res_map, _vit_map = eng_ct(volume, ct_params)
+        (tu_map,) = eng_tu(volume, tu_params)
         mask = ensemble(res_map, tu_map)
         # force a scalar D2H: on the axon tunnel block_until_ready returns
         # before execution finishes — only a fetch truly synchronizes
