@@ -49,12 +49,14 @@ def main():
     log(f"platform={platform} devices={len(jax.devices())}")
 
     if on_tpu:
-        vol_shape, sw_batch = VOLUME_SHAPE, 8
+        # window counts at 256x256x128: CTUNet(ov .5) 50 = 5x10 chunks,
+        # TUNet(ov .7) 147 = 7x21 — exact chunking wastes zero padded slots
+        vol_shape, sw_ct, sw_tu = VOLUME_SHAPE, 10, 21
         ct_kwargs = dict(out_channels=14, model_depth=101, patch_frame=8)
         tu_kwargs = dict(out_channels=14, patch_frame=8)
         reps = 3
     else:  # CPU smoke fallback: same code path, small enough to finish
-        vol_shape, sw_batch = (128, 128, 96), 2
+        vol_shape, sw_ct, sw_tu = (128, 128, 96), 2, 2
         ct_kwargs = dict(
             out_channels=14, model_depth=50, patch_frame=8,
             hidden_size=128, num_depths=2, mlp_dim=256, num_heads=4,
@@ -88,10 +90,10 @@ def main():
         return vit
 
     eng_ct = SlidingWindowEngine(
-        ct_fwd, ROI, sw_batch_size=sw_batch, overlap=0.5, mode="gaussian", num_outputs=2
+        ct_fwd, ROI, sw_batch_size=sw_ct, overlap=0.5, mode="gaussian", num_outputs=2
     )
     eng_tu = SlidingWindowEngine(
-        tu_fwd, ROI, sw_batch_size=sw_batch, overlap=0.7, mode="gaussian", num_outputs=1
+        tu_fwd, ROI, sw_batch_size=sw_tu, overlap=0.7, mode="gaussian", num_outputs=1
     )
 
     @jax.jit
