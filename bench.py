@@ -50,8 +50,8 @@ def main():
 
     if on_tpu:
         # window counts at 256x256x128: CTUNet(ov .5) 50 = 5x10 chunks,
-        # TUNet(ov .7) 147 = 7x21 — exact chunking wastes zero padded slots
-        vol_shape, sw_ct, sw_tu = VOLUME_SHAPE, 10, 21
+        # TUNet(ov .7) 147 -> 10x15 (sw 21 exceeds HBM; 150 slots, 3 padded)
+        vol_shape, sw_ct, sw_tu = VOLUME_SHAPE, 10, 15
         ct_kwargs = dict(out_channels=14, model_depth=101, patch_frame=8)
         tu_kwargs = dict(out_channels=14, patch_frame=8)
         reps = 3
