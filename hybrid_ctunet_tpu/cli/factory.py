@@ -63,7 +63,9 @@ def build_state(args, model, example_shape=None):
 
     path = getattr(args, "checkpoint", None)
     if path:
-        if path.endswith(".pt") or path.endswith(".pth"):
+        # orbax checkpoints are directories (even when named *.pt to match
+        # the reference filenames); torch checkpoints are files
+        if not os.path.isdir(path) and (path.endswith(".pt") or path.endswith(".pth")):
             params = load_params_from_torch(path, args.model_name,
                                             model_depth=args.model_depths)
             state = state.replace(params=params)
@@ -78,8 +80,9 @@ def build_state(args, model, example_shape=None):
 
 
 def load_eval_params(args, model_name: str, path: str):
-    """Weights-only load for the test scripts (reference test_* model load)."""
-    if path.endswith(".pt") or path.endswith(".pth"):
+    """Weights-only load for the test scripts (reference test_* model load).
+    Directories are orbax checkpoints; files are reference torch .pt."""
+    if not os.path.isdir(path) and (path.endswith(".pt") or path.endswith(".pth")):
         return load_params_from_torch(path, model_name, model_depth=args.model_depths)
     restored = load_checkpoint(path)
     return restored["params"]

@@ -45,18 +45,24 @@ def write_dice_report(
     os.makedirs(output_directory, exist_ok=True)
     path = os.path.join(output_directory, filename)
     rows = np.asarray(per_case_dice, dtype=np.float64)
-    assert rows.ndim == 2 and rows.shape[1] == len(REPORT_LABELS), rows.shape
+    assert rows.ndim == 2, rows.shape
+    # BTCV gets the reference's organ labels; other class counts get
+    # generic per-class labels
+    if rows.shape[1] == len(REPORT_LABELS):
+        labels = REPORT_LABELS
+    else:
+        labels = tuple(f"Dice_class_{i + 1}" for i in range(rows.shape[1]))
 
     with open(path, "a") as fw:
         for name, row in zip(case_names, rows):
             fw.write("*" * 20 + "\n")
             fw.write("case: " + str(name) + "\n")
-            for lab, v in zip(REPORT_LABELS, row):
+            for lab, v in zip(labels, row):
                 fw.write(f"{lab}: {v:.4f}\n")
         fw.write("*" * 20 + "\n")
         fw.write("Mean_Dice\n")
         means = rows.mean(0)
-        for lab, v in zip(REPORT_LABELS, means):
+        for lab, v in zip(labels, means):
             fw.write(lab + str(v) + "\n")
         fw.write("*" * 20 + "\n")
         fw.write("dsc:" + str(float(means.mean())) + "\n")
@@ -65,6 +71,6 @@ def write_dice_report(
                 m = np.asarray(mat, np.float64).mean(0)
                 fw.write("*" * 20 + "\n")
                 fw.write(f"Mean_Dice_{name}\n")
-                for lab, v in zip(REPORT_LABELS, m):
+                for lab, v in zip(labels, m):
                     fw.write(lab + str(v) + "\n")
     return path

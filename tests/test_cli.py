@@ -92,3 +92,46 @@ def test_train_cli_end_to_end(tmp_path):
     # checkpoint written on new best (dice > 0 happens even untrained rarely;
     # accept either but the scalars log must exist)
     assert os.path.exists(tmp_path / "runs" / "smoke" / "scalars.jsonl")
+
+
+@pytest.mark.slow
+def test_eval_cli_end_to_end(tmp_path):
+    """test_C_TUNet path: save a checkpoint, evaluate it on synthetic data,
+    check NIfTI masks + dice.txt report appear."""
+    import jax
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu.cli.args import build_test_parser
+    from hybrid_ctunet_tpu.cli.factory import build_model
+    from hybrid_ctunet_tpu.cli.test_main import test_single
+    from hybrid_ctunet_tpu.data.synthetic import write_synthetic_dataset
+    from hybrid_ctunet_tpu.train.checkpoint import save_checkpoint
+    from hybrid_ctunet_tpu.train.state import create_train_state
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    json_path = write_synthetic_dataset(data_dir, n_train=1, n_val=1, shape=(64, 64, 32))
+
+    argv = [
+        "--model_name=cunet", "--model_depths=50",
+        f"--data_dir={data_dir}", f"--json_list={os.path.basename(json_path)}",
+        "--roi_x=32", "--roi_y=32", "--roi_z=16", "--out_channels=3",
+        f"--pretrained_dir={tmp_path}/ckpt", "--pretrained_model_name=model_res.pt",
+        "--exp_name=evalsmoke", "--noamp",
+    ]
+    args = build_test_parser("c_tunet").parse_args(argv)
+    model = build_model(args)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 16, 1), jnp.float32))
+    save_checkpoint(str(tmp_path / "ckpt"), "model_res.pt", state, epoch=0, best_acc=0.0)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rows = test_single(argv)
+    finally:
+        os.chdir(cwd)
+    assert rows.shape == (1, 2)  # out_channels=3 -> 2 foreground classes
+    out_dir = tmp_path / "outputs" / "evalsmoke"
+    assert (out_dir / "dice.txt").exists()
+    niftis = [p for p in os.listdir(out_dir) if p.endswith(".nii.gz")]
+    assert niftis, "prediction NIfTI not written"
