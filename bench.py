@@ -49,9 +49,10 @@ def main():
     log(f"platform={platform} devices={len(jax.devices())}")
 
     if on_tpu:
-        # window counts at 256x256x128: CTUNet(ov .5) 50 = 5x10 chunks,
-        # TUNet(ov .7) 147 -> 10x15 (sw 21 exceeds HBM; 150 slots, 3 padded)
-        vol_shape, sw_ct, sw_tu = VOLUME_SHAPE, 10, 15
+        # measured optimum on v5e: batch dims on sublane multiples; CT 50
+        # windows -> 7x8 chunks (78 ms/win), TU 147 -> 10x16 (37.5 ms/win).
+        # Non-multiple-of-8 batches (10/15) regress XLA layouts ~10%.
+        vol_shape, sw_ct, sw_tu = VOLUME_SHAPE, 8, 16
         ct_kwargs = dict(out_channels=14, model_depth=101, patch_frame=8)
         tu_kwargs = dict(out_channels=14, patch_frame=8)
         reps = 3
