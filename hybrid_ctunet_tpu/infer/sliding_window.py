@@ -230,19 +230,15 @@ class SlidingWindowEngine:
 
                 return jax.lax.fori_loop(0, sw, one, acc)
 
-            # Three SEPARATE small programs (the remote-compile tunnel fails
-            # on programs combining the model with big-buffer scatter):
-            # gather windows / model forward / weighted scatter-add.
-            @jax.jit
-            def gather(padded, s):
-                return jax.vmap(gather_one, in_axes=(None, 0))(padded, s)
-
-            predict = jax.jit(
-                lambda wins, *pa: self.predictor(wins, *pa)
-            )
-
+            # ONE fused program per chunk: gather + model forward + weighted
+            # scatter-add with donated accumulators. Model params must arrive
+            # via pred_args (NOT closure) — constant-folded params blow the
+            # remote compiler's request-size limit.
             @partial(jax.jit, donate_argnums=(0, 1))
-            def accumulate_chunk(accs, cnt, preds, s, v, importance):
+            def chunk_step(accs, cnt, padded, s, v, importance, *pred_args):
+                wins = jax.vmap(gather_one, in_axes=(None, 0))(padded, s)
+                preds = self.predictor(wins, *pred_args)
+                preds = preds if isinstance(preds, (tuple, list)) else (preds,)
                 imp = importance[None, ..., None]
                 w_imp = imp * v[:, None, None, None, None]
                 accs = tuple(
@@ -265,12 +261,11 @@ class SlidingWindowEngine:
                 chunk_starts = np.asarray(starts).reshape(-1, sw, 3)
                 chunk_valid = np.asarray(valid).reshape(-1, sw)
                 for ci in range(len(chunk_starts)):
-                    s = jnp.asarray(chunk_starts[ci])
-                    v = jnp.asarray(chunk_valid[ci])
-                    wins = gather(padded, s)
-                    preds = predict(wins, *pred_args)
-                    preds = preds if isinstance(preds, (tuple, list)) else (preds,)
-                    accs, cnt = accumulate_chunk(accs, cnt, preds, s, v, importance)
+                    accs, cnt = chunk_step(
+                        accs, cnt, padded,
+                        jnp.asarray(chunk_starts[ci]), jnp.asarray(chunk_valid[ci]),
+                        importance, *pred_args,
+                    )
                 return finalize(accs, cnt)
 
         elif self.mesh is None:
