@@ -102,3 +102,4 @@ def test_padding_math_matches_reference_rule():
     assert transpose_output_padding((2, 2, 2), (2, 2, 2), (0, 0, 0)) == (0, 0, 0)
     with pytest.raises(ValueError):
         same_padding(1, 4)  # negative padding must raise like the reference
+
