@@ -53,9 +53,11 @@ class Conv3d(nn.Module):
             (*k, cin, self.features),
             jnp.float32,
         )
+        # preferred_dtype == compute dtype: the MXU accumulates bf16 convs in
+        # fp32 internally regardless; requesting an fp32 OUTPUT breaks the
+        # conv VJP under bf16 (mixed-dtype cotangent, jax conv grad rule).
         y = conv3d_same(x.astype(self.dtype), w.astype(self.dtype), self.stride,
-                        preferred_dtype=jnp.float32)
-        y = y.astype(self.dtype)
+                        preferred_dtype=self.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + b.astype(self.dtype)
@@ -82,9 +84,10 @@ class ConvTranspose3d(nn.Module):
             jnp.float32,
         )
         y = conv_transpose3d_same(
-            x.astype(self.dtype), w.astype(self.dtype), self.stride, preferred_dtype=jnp.float32
+            x.astype(self.dtype), w.astype(self.dtype), self.stride,
+            preferred_dtype=self.dtype
         )
-        return y.astype(self.dtype)
+        return y
 
 
 class LayerNorm(nn.Module):

@@ -135,3 +135,57 @@ def test_eval_cli_end_to_end(tmp_path):
     assert (out_dir / "dice.txt").exists()
     niftis = [p for p in os.listdir(out_dir) if p.endswith(".nii.gz")]
     assert niftis, "prediction NIfTI not written"
+
+
+@pytest.mark.slow
+def test_ctunet_three_checkpoint_eval(tmp_path):
+    """test_CTUNet.py path: res+vit cross-checkpoint ensemble pass and
+    hybrid single-checkpoint pass, from three saved checkpoints."""
+    import jax
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu.cli.args import build_test_parser
+    from hybrid_ctunet_tpu.cli.factory import build_model
+    from hybrid_ctunet_tpu.cli.test_main import test_ctunet
+    from hybrid_ctunet_tpu.data.synthetic import write_synthetic_dataset
+    from hybrid_ctunet_tpu.train.checkpoint import save_checkpoint
+    from hybrid_ctunet_tpu.train.state import create_train_state
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    json_path = write_synthetic_dataset(data_dir, n_train=1, n_val=1, shape=(64, 64, 32))
+
+    argv = [
+        "--model_depths=50", "--patch_frame=8",
+        f"--data_dir={data_dir}", f"--json_list={os.path.basename(json_path)}",
+        "--roi_x=32", "--roi_y=32", "--roi_z=32", "--out_channels=3",
+        "--hidden_size=64", "--num_depths=1", "--mlp_dim=128", "--num_heads=2",
+        "--feature_size=16",
+        f"--pretrained_dir={tmp_path}/ckpt", "--exp_name=ct3smoke", "--noamp",
+    ]
+    args = build_test_parser("ctunet").parse_args(argv)
+    args.model_name = "ctunet"
+    model = build_model(args)
+    # CTUNet at 32^3 needs window=2 (tiny config); build_model uses default 6
+    from hybrid_ctunet_tpu.models import CTUNet
+    model = CTUNet(out_channels=3, model_depth=50, img_size=(32, 32), frames=32,
+                   patch_frame=8, hidden_size=64, num_depths=1, mlp_dim=128,
+                   num_heads=2, dim_conv_stem=16, window=2)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 32, 1), jnp.float32))
+    for f in ("model_res.pt", "model_vit.pt", "model_hybrid.pt"):
+        save_checkpoint(str(tmp_path / "ckpt"), f, state, epoch=0, best_acc=0.0)
+
+    import hybrid_ctunet_tpu.cli.test_main as tm
+    orig = tm.build_model
+    tm.build_model = lambda a: model  # tiny window override
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        results = test_ctunet(argv)
+    finally:
+        os.chdir(cwd)
+        tm.build_model = orig
+    assert set(results) == {"res+vit", "hybrid"}
+    out_dir = tmp_path / "outputs" / "ct3smoke"
+    assert (out_dir / "dice_res+vit.txt").exists()
+    assert (out_dir / "dice_hybrid.txt").exists()
