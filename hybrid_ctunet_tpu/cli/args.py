@@ -84,6 +84,10 @@ def _common(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     add("--infer_overlap", default=0.5, type=float, help="sliding window inference overlap")
     add("--dropout_rate", default=0.0, type=float, help="dropout rate")
     add("--patch_frame", default=8, type=int, help="patch frame")
+    add("--grad_accum", default=1, type=int,
+        help="gradient-accumulation microbatches per optimizer step "
+             "(TPU extension; exact math — set 4 to train the reference's "
+             "1x4-crop batch within 16G HBM)")
     add("--synthetic", action="store_true",
         help="generate a synthetic BTCV-like dataset into data_dir (smoke runs)")
     return parser

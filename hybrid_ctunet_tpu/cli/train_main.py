@@ -60,6 +60,7 @@ def main_worker(args):
         val_every=args.val_every,
         optim_lr=args.optim_lr,
         lrschedule=args.lrschedule,
+        grad_accum=args.grad_accum,
         roi_size=(args.roi_x, args.roi_y, args.roi_z),
         # the reference *ignores* --sw_batch_size during validation and
         # hardcodes 4 (trainer_CTUNet.py:189); keep that behavior
@@ -74,7 +75,8 @@ def main_worker(args):
     if use_dp:
         mesh = make_mesh()
         dp_step = make_dp_train_step(
-            args.model_name, mesh, smooth_nr=args.smooth_nr, smooth_dr=args.smooth_dr
+            args.model_name, mesh, smooth_nr=args.smooth_nr, smooth_dr=args.smooth_dr,
+            grad_accum=args.grad_accum,
         )
         state = replicate_state(state, mesh)
 
@@ -85,7 +87,9 @@ def main_worker(args):
 
     else:
         step_fn = jax.jit(
-            make_train_step(args.model_name, smooth_nr=args.smooth_nr, smooth_dr=args.smooth_dr)
+            make_train_step(args.model_name, smooth_nr=args.smooth_nr,
+                            smooth_dr=args.smooth_dr, grad_accum=args.grad_accum),
+            donate_argnums=(0,),
         )
 
     best = run_training(

@@ -345,7 +345,7 @@ class UpCatConvBlock(nn.Module):
             name="transp_conv",
         )(x)
         out = jnp.concatenate([out, skip.astype(out.dtype)], axis=-1)
-        return ResBlock(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block")(out)
+        return nn.remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block")(out)
 
 
 class UpConvBlock(nn.Module):
@@ -363,7 +363,7 @@ class UpConvBlock(nn.Module):
             self.features, self.upsample_stride, self.upsample_stride, dtype=self.dtype,
             name="transp_conv",
         )(x)
-        return ResBlock(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block")(out)
+        return nn.remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block")(out)
 
 
 class Up2FusionBlock(nn.Module):
@@ -379,14 +379,14 @@ class Up2FusionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, skip_conv, skip_vit):
         skip = PixelweightFusion(dtype=self.dtype, name="pixelweight_attention1")(skip_conv, skip_vit)
-        skip = ResBlock(self.features, self.kernel_size, 1, dtype=self.dtype, name="up_addconv_block1")(skip)
+        skip = nn.remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="up_addconv_block1")(skip)
 
         out = ConvTranspose3d(
             self.features, self.upsample_stride, self.upsample_stride, dtype=self.dtype,
             name="transp_conv",
         )(x)
         out = PixelweightFusion(dtype=self.dtype, name="pixelweight_attention2")(out, skip)
-        return ResBlock(self.features, self.kernel_size, 1, dtype=self.dtype, name="up_addconv_block2")(out)
+        return nn.remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="up_addconv_block2")(out)
 
 
 class CatConvBlock(nn.Module):
@@ -399,7 +399,7 @@ class CatConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, skip):
         out = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-        return ResBlock(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block")(out)
+        return nn.remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block")(out)
 
 
 class UnetOutHead(nn.Module):

@@ -112,8 +112,11 @@ class ResNet3D(nn.Module):
                 planes, stride, dtype=self.dtype, name=f"layer{stage + 1}_block0"
             )(h)
             if self.scan_blocks and blocks > 1:
+                # remat-scan: recompute each tail block in the backward pass
+                # instead of saving its intermediates (96^3-scale activations
+                # OOM 16G HBM otherwise); free for inference.
                 Tail = nn.scan(
-                    _ScanBottleneck,
+                    nn.remat(_ScanBottleneck),
                     variable_axes={"params": 0},
                     split_rngs={"params": True},
                     length=blocks - 1,

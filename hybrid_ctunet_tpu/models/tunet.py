@@ -67,7 +67,7 @@ class TUNetCore(nn.Module):
             window=self.window, dtype=self.dtype, name="vit_encoder",
         )(grid)
 
-        stem = ResBlock(self.dim_conv_stem, 3, 1, dtype=self.dtype, name="vit_encoder0")(x)
+        stem = nn.remat(ResBlock)(self.dim_conv_stem, 3, 1, dtype=self.dtype, name="vit_encoder0")(x)
         fused = CatConvBlock(self.dim_conv_stem, dtype=self.dtype, name="vit_decoder0")(
             pyramid[-1], stem
         )

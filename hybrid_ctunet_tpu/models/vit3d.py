@@ -129,7 +129,7 @@ class ViT3D(nn.Module):
             # on a leading axis) — cuts trace/compile time ~depth-fold, which
             # matters for the 174M CTUNet sliding-window program.
             Blocks = nn.scan(
-                _ScanBlock,
+                nn.remat(_ScanBlock),
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=self.depth,

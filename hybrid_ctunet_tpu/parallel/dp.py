@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..train.state import TrainState, set_learning_rate
-from ..train.steps import LOSS_FNS
+from ..train.steps import LOSS_FNS, compute_grads
 
 
 def make_dp_train_step(
@@ -32,6 +32,8 @@ def make_dp_train_step(
     smooth_nr: float = 0.0,
     smooth_dr: float = 1e-6,
     donate: bool = True,
+    remat: bool = False,
+    grad_accum: int = 1,
 ) -> Callable:
     """Build a jitted data-parallel train step over ``mesh``.
 
@@ -44,11 +46,10 @@ def make_dp_train_step(
     loss_impl = LOSS_FNS[model_name]
 
     def step(state: TrainState, image, label, valid, lr):
-        def loss_fn(params):
-            outs = state.apply_fn({"params": params}, image)
-            return loss_impl(outs, label, smooth_nr=smooth_nr, smooth_dr=smooth_dr)
-
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        loss, aux, grads = compute_grads(
+            loss_impl, state, image, label,
+            smooth_nr=smooth_nr, smooth_dr=smooth_dr, remat=remat, grad_accum=grad_accum,
+        )
         # DDP semantics: every replica's gradient (including padded dup
         # samples) is averaged.
         grads = jax.lax.pmean(grads, axis)

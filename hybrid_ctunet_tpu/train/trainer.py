@@ -51,6 +51,7 @@ class TrainConfig:
     val_every: int = 100
     optim_lr: float = 1e-4
     lrschedule: str = "warmup_cosine"
+    grad_accum: int = 1
     roi_size: Tuple[int, int, int] = (96, 96, 96)
     sw_batch_size: int = 4
     infer_overlap: float = 0.5
@@ -179,7 +180,9 @@ def run_training(
     model_name = cfg.model_name
     dual = model_name == "ctunet"
     if step_fn is None:
-        step_fn = jax.jit(make_train_step(model_name))
+        step_fn = jax.jit(
+            make_train_step(model_name, grad_accum=cfg.grad_accum), donate_argnums=(0,)
+        )
 
     writer = ScalarWriter(logdir or cfg.logdir, enabled=is_main_process())
     ckpt_dir = ckpt_dir or (logdir or cfg.logdir) or "."

@@ -135,3 +135,28 @@ def test_remat_step_matches_plain():
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_grad_accum_matches_full_batch():
+    """lax.scan gradient accumulation == full-batch step (exact: no
+    cross-sample coupling in IN or the losses)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from hybrid_ctunet_tpu.models import CUNet
+    from hybrid_ctunet_tpu.train.state import create_train_state
+    from hybrid_ctunet_tpu.train.steps import make_train_step
+
+    g = np.random.default_rng(1)
+    image = jnp.asarray(g.standard_normal((4, 16, 16, 8, 1)), jnp.float32)
+    label = jnp.asarray(g.integers(0, 3, (4, 16, 16, 8, 1)), jnp.float32)
+    model = CUNet(out_channels=3, model_depth=50)
+    s0 = create_train_state(model, jax.random.PRNGKey(0), image[:1])
+
+    full = jax.jit(make_train_step("cunet"))
+    accum = jax.jit(make_train_step("cunet", grad_accum=4))
+    s1, m1 = full(s0, image, label, 1e-3)
+    s2, m2 = accum(s0, image, label, 1e-3)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-3, rtol=1e-4)
