@@ -43,6 +43,9 @@ def main():
     from hybrid_ctunet_tpu.utils.compilation_cache import enable as enable_cache
 
     log(f"compilation cache: {enable_cache()}")
+    from hybrid_ctunet_tpu.models.layers import set_remat_blocks
+
+    set_remat_blocks(False)  # inference-only process: skip remat overhead
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"

@@ -22,8 +22,11 @@ from ..data.nifti import save_nifti
 from ..data.transforms import invert_to_native
 from ..eval import com_dice, com_hd, determine_postprocessing, per_organ_dice, write_dice_report
 from ..infer.sliding_window import SlidingWindowEngine
+from ..models.layers import set_remat_blocks
 from .args import build_test_parser
 from .factory import build_model, load_eval_params
+
+set_remat_blocks(False)  # evaluation entries never differentiate
 
 
 def _softmax(x, axis=-1):

@@ -29,6 +29,22 @@ from ..ops.conv import conv3d_same, conv_transpose3d_same
 from ..ops.norm import instance_norm, instance_norm_leaky, layer_norm
 
 
+_REMAT_BLOCKS = True
+
+
+def set_remat_blocks(enabled: bool) -> None:
+    """Global switch for block-level rematerialization (read at trace time).
+    Training needs it (96^3 backward OOMs 16G HBM otherwise); pure-inference
+    processes can disable it to shave the remat primitive's forward overhead
+    (bench.py and the test CLIs do)."""
+    global _REMAT_BLOCKS
+    _REMAT_BLOCKS = enabled
+
+
+def maybe_remat(cls):
+    return nn.remat(cls) if _REMAT_BLOCKS else cls
+
+
 def _triple(v) -> Tuple[int, int, int]:
     return (v, v, v) if isinstance(v, int) else tuple(int(x) for x in v)  # type: ignore
 
@@ -345,7 +361,7 @@ class UpCatConvBlock(nn.Module):
             name="transp_conv",
         )(x)
         out = jnp.concatenate([out, skip.astype(out.dtype)], axis=-1)
-        return nn.remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block")(out)
+        return maybe_remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block")(out)
 
 
 class UpConvBlock(nn.Module):
@@ -363,7 +379,7 @@ class UpConvBlock(nn.Module):
             self.features, self.upsample_stride, self.upsample_stride, dtype=self.dtype,
             name="transp_conv",
         )(x)
-        return nn.remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block")(out)
+        return maybe_remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block")(out)
 
 
 class Up2FusionBlock(nn.Module):
@@ -379,14 +395,14 @@ class Up2FusionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, skip_conv, skip_vit):
         skip = PixelweightFusion(dtype=self.dtype, name="pixelweight_attention1")(skip_conv, skip_vit)
-        skip = nn.remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="up_addconv_block1")(skip)
+        skip = maybe_remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="up_addconv_block1")(skip)
 
         out = ConvTranspose3d(
             self.features, self.upsample_stride, self.upsample_stride, dtype=self.dtype,
             name="transp_conv",
         )(x)
         out = PixelweightFusion(dtype=self.dtype, name="pixelweight_attention2")(out, skip)
-        return nn.remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="up_addconv_block2")(out)
+        return maybe_remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="up_addconv_block2")(out)
 
 
 class CatConvBlock(nn.Module):
@@ -399,7 +415,7 @@ class CatConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, skip):
         out = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-        return nn.remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block")(out)
+        return maybe_remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block")(out)
 
 
 class UnetOutHead(nn.Module):

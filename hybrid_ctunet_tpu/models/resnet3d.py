@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.act import leaky_relu
 from ..ops.norm import instance_norm, instance_norm_leaky
-from .layers import Conv3d
+from .layers import Conv3d, maybe_remat
 
 LAYER_COUNTS = {
     50: (3, 4, 6, 3),
@@ -116,7 +116,7 @@ class ResNet3D(nn.Module):
                 # instead of saving its intermediates (96^3-scale activations
                 # OOM 16G HBM otherwise); free for inference.
                 Tail = nn.scan(
-                    nn.remat(_ScanBottleneck),
+                    maybe_remat(_ScanBottleneck),
                     variable_axes={"params": 0},
                     split_rngs={"params": True},
                     length=blocks - 1,

@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .decoder_attention import UpAttentionBlock
-from .layers import CatConvBlock, Dense, ResBlock, UnetOutHead
+from .layers import CatConvBlock, Dense, ResBlock, UnetOutHead, maybe_remat
 from .vit3d import ViT3D
 
 DIMS = (128, 256, 512, 1024)
@@ -67,7 +67,7 @@ class TUNetCore(nn.Module):
             window=self.window, dtype=self.dtype, name="vit_encoder",
         )(grid)
 
-        stem = nn.remat(ResBlock)(self.dim_conv_stem, 3, 1, dtype=self.dtype, name="vit_encoder0")(x)
+        stem = maybe_remat(ResBlock)(self.dim_conv_stem, 3, 1, dtype=self.dtype, name="vit_encoder0")(x)
         fused = CatConvBlock(self.dim_conv_stem, dtype=self.dtype, name="vit_decoder0")(
             pyramid[-1], stem
         )

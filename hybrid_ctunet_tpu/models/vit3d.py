@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import Dense, FeedForward, LayerNorm
+from .layers import Dense, FeedForward, LayerNorm, maybe_remat
 
 
 class ViTAttention(nn.Module):
@@ -129,7 +129,7 @@ class ViT3D(nn.Module):
             # on a leading axis) — cuts trace/compile time ~depth-fold, which
             # matters for the 174M CTUNet sliding-window program.
             Blocks = nn.scan(
-                nn.remat(_ScanBlock),
+                maybe_remat(_ScanBlock),
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=self.depth,
