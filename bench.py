@@ -52,10 +52,11 @@ def main():
     log(f"platform={platform} devices={len(jax.devices())}")
 
     if on_tpu:
-        # measured optimum on v5e: batch dims on sublane multiples; CT 50
-        # windows -> 7x8 chunks (78 ms/win), TU 147 -> 10x16 (37.5 ms/win).
-        # Non-multiple-of-8 batches (10/15) regress XLA layouts ~10%.
-        vol_shape, sw_ct, sw_tu = VOLUME_SHAPE, 8, 16
+        # measured optimum on v5e: batch dims on sublane multiples
+        # (non-multiples regress XLA layouts ~10%); sw16 TUNet exceeds HBM
+        # with split-concat conv live sets — sw8 also wastes fewer slots
+        # (19x8=152 for 147 windows).
+        vol_shape, sw_ct, sw_tu = VOLUME_SHAPE, 8, 8
         ct_kwargs = dict(out_channels=14, model_depth=101, patch_frame=8)
         tu_kwargs = dict(out_channels=14, patch_frame=8)
         reps = 3
@@ -86,15 +87,19 @@ def main():
     # would embed 700MB of constants into the HLO and blow the remote
     # compiler's request-size limit (HTTP 413)
     def ct_fwd(x, params):
-        (res, _, _), (vit, _) = ctunet.apply({"params": params}, x.astype(dtype))
-        return res, vit
+        # the final-ensemble path uses only the res head of the dual output
+        # (reference sliding_window_inference_multi(...)[0],
+        # test_CTUNet_final.py:539) — don't accumulate a 470MB map that is
+        # discarded (dead-output elimination; identical result)
+        (res, _, _), _ = ctunet.apply({"params": params}, x.astype(dtype))
+        return res
 
     def tu_fwd(x, params):
         vit, _ = tunet.apply({"params": params}, x.astype(dtype))
         return vit
 
     eng_ct = SlidingWindowEngine(
-        ct_fwd, ROI, sw_batch_size=sw_ct, overlap=0.5, mode="gaussian", num_outputs=2
+        ct_fwd, ROI, sw_batch_size=sw_ct, overlap=0.5, mode="gaussian", num_outputs=1
     )
     eng_tu = SlidingWindowEngine(
         tu_fwd, ROI, sw_batch_size=sw_tu, overlap=0.7, mode="gaussian", num_outputs=1
@@ -109,9 +114,10 @@ def main():
     volume = jax.random.normal(jax.random.PRNGKey(1), (1, *vol_shape, 1), jnp.float32)
 
     def one_volume():
-        res_map, _vit_map = eng_ct(volume, ct_params)
+        (res_map,) = eng_ct(volume, ct_params)
         (tu_map,) = eng_tu(volume, tu_params)
         mask = ensemble(res_map, tu_map)
+        del res_map, tu_map
         # force a scalar D2H: on the axon tunnel block_until_ready returns
         # before execution finishes — only a fetch truly synchronizes
         float(mask[0, 0, 0, 0])
