@@ -58,6 +58,8 @@ class TrainConfig:
     logdir: Optional[str] = None
     out_channels: int = 14
     save_checkpoint: bool = True
+    save_latest: bool = True  # fault tolerance: periodic latest.pt for
+    # restart-from-latest (SURVEY.md §5 — the reference has none)
     print_every: int = 1
 
 
@@ -209,6 +211,11 @@ def run_training(
                 f"time {time.time() - t0:.2f}s"
             )
         writer.add_scalar("train_loss", train_loss, epoch)
+
+        if cfg.save_latest and cfg.save_checkpoint and (epoch + 1) % cfg.val_every == 0:
+            if is_main_process():
+                save_checkpoint(ckpt_dir, "latest.pt", state, epoch=epoch + 1,
+                                best_acc=max(best.values()))
 
         if (epoch + 1) % cfg.val_every == 0 and len(val_cases) > 0:
             accs = val_epoch(engine, state.params, val_cases, cfg, dual_output=dual)

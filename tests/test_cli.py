@@ -189,3 +189,31 @@ def test_ctunet_three_checkpoint_eval(tmp_path):
     out_dir = tmp_path / "outputs" / "ct3smoke"
     assert (out_dir / "dice_res+vit.txt").exists()
     assert (out_dir / "dice_hybrid.txt").exists()
+
+
+@pytest.mark.slow
+def test_resume_from_latest_checkpoint(tmp_path):
+    """Fault-tolerance: train 1 epoch, resume from latest.pt via --checkpoint
+    and continue at the stored epoch."""
+    from hybrid_ctunet_tpu.cli.train_main import main
+    from hybrid_ctunet_tpu.data.synthetic import write_synthetic_dataset
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    json_path = write_synthetic_dataset(data_dir, n_train=1, n_val=1, shape=(64, 64, 32))
+    common = [
+        "--model_name=cunet", "--model_depths=50",
+        f"--data_dir={data_dir}", f"--json_list={os.path.basename(json_path)}",
+        "--val_every=1", "--warmup_epochs=1",
+        "--roi_x=32", "--roi_y=32", "--roi_z=16", "--out_channels=3",
+        "--save_checkpoint", "--noamp", "--logdir=resume",
+    ]
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        main("c_tunet", common + ["--max_epochs=1"])
+        latest = tmp_path / "runs" / "resume" / "latest.pt"
+        assert latest.exists(), "latest.pt not written"
+        main("c_tunet", common + ["--max_epochs=2", f"--checkpoint={latest}"])
+    finally:
+        os.chdir(cwd)
