@@ -90,6 +90,19 @@ def conv3d_same(
     s = _triple(stride)
     k = w.shape[:3]
     p = same_padding(k, s)
+    if (
+        w.shape[3] == 1
+        and s[0] == 2 and s[1] == 2 and s[2] == 1
+        and k[0] == 7 and k[1] == 7
+        and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+    ):
+        # ResNet 7x7x7 stem (Cin=1, stride (2,2,1)): the native conv path is
+        # pathological on TPU (~2 TF/s measured — no lane dimension with one
+        # input channel). Rewrite via 2x2 space-to-depth over the strided
+        # axes: the conv becomes stride-1 over Cin=4 with a (4,4,kz) kernel
+        # whose taps are the parity classes of the original 7-tap kernel.
+        # Identical numerics (taps are rearranged, never approximated).
+        return _stem_s2d_conv(x, w, p, preferred_dtype)
     dn = _DN(x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
     return lax.conv_general_dilated(
         x,
@@ -99,6 +112,40 @@ def conv3d_same(
         dimension_numbers=dn,
         preferred_element_type=preferred_dtype,
     )
+
+
+def _stem_s2d_conv(x, w, p, preferred_dtype):
+    """conv(x, w, stride=(2,2,1), SAME) with Cin=1, kx=ky=7, via 2x2
+    space-to-depth. p = same_padding((7,7,kz),(2,2,1)) = (3,3,pz)."""
+    B, X, Y, Z, _ = x.shape
+    kz = w.shape[2]
+    cout = w.shape[4]
+    pz = p[2]
+    # pad x/y by 3 each side plus one extra high so the length is even, z by pz
+    xp = jnp.pad(x, ((0, 0), (3, 3 + (X % 2)), (3, 3 + (Y % 2)), (pz, pz), (0, 0)))
+    Xp, Yp = xp.shape[1], xp.shape[2]
+    # space-to-depth 2x2 over (x, y): channel index c = rx*2 + ry
+    xs = xp.reshape(B, Xp // 2, 2, Yp // 2, 2, xp.shape[3], 1)
+    xs = xs.transpose(0, 1, 3, 5, 2, 4, 6).reshape(B, Xp // 2, Yp // 2, xp.shape[3], 4)
+    # kernel (4, 4, kz, 4, cout): parity class (rx, ry) holds taps
+    # w[2e+rx, 2f+ry, :] at position (e, f); odd classes have 3 live taps.
+    wk = jnp.zeros((4, 4, kz, 4, cout), w.dtype)
+    for rx in (0, 1):
+        n_ex = 4 if rx == 0 else 3
+        for ry in (0, 1):
+            n_ey = 4 if ry == 0 else 3
+            c = rx * 2 + ry
+            wk = wk.at[:n_ex, :n_ey, :, c, :].set(w[rx::2, ry::2, :, 0, :])
+    dn = _DN(xs.shape, wk.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    out = lax.conv_general_dilated(
+        xs, wk, (1, 1, 1), "VALID", dimension_numbers=dn,
+        preferred_element_type=preferred_dtype,
+    )
+    # VALID over length Xp//2 with k=4 -> Xp//2-3; SAME stride-2 output is
+    # floor((X+2*3-7)/2)+1 = (X-1)//2 + 1
+    ox = (X - 1) // 2 + 1
+    oy = (Y - 1) // 2 + 1
+    return out[:, :ox, :oy, :, :]
 
 
 def conv_transpose3d_same(

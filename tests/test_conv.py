@@ -103,3 +103,23 @@ def test_padding_math_matches_reference_rule():
     with pytest.raises(ValueError):
         same_padding(1, 4)  # negative padding must raise like the reference
 
+
+
+def test_s2d_stem_matches_native_conv(rng):
+    """Space-to-depth rewrite of the 7x7xk Cin=1 stride-(2,2,1) stem must
+    equal the native conv path (odd and even spatial sizes)."""
+    import jax.numpy as jnp
+    from jax import lax
+    from hybrid_ctunet_tpu.ops.conv import conv3d_same, same_padding
+
+    for shape in [(1, 20, 20, 12, 1), (1, 18, 22, 10, 1)]:
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((7, 7, 7, 1, 8)) * 0.1, jnp.float32)
+        out = conv3d_same(x, w, (2, 2, 1))
+        p = same_padding((7, 7, 7), (2, 2, 1))
+        dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        want = lax.conv_general_dilated(x, w, (2, 2, 1), [(pi, pi) for pi in p],
+                                        dimension_numbers=dn,
+                                        preferred_element_type=jnp.float32)
+        assert out.shape == want.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=5e-5, rtol=1e-5)
