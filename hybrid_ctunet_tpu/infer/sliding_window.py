@@ -22,6 +22,7 @@ erf-gaussian importance map (σ = 0.125·roi), then crop the centred padding.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Callable, Sequence, Tuple
 
@@ -30,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.importance import gaussian_importance_map
+from ..ops.scatter_pallas import lane_channels, scatter_add_windows
 
 
 def get_scan_interval(
@@ -213,60 +215,76 @@ class SlidingWindowEngine:
 
         if self.strategy == "loop":
             X, Y, Z = padded_shape
+            rx, ry, rz = roi
+            # merged-lane canvases: trailing (Z, C) fused into Z*K lanes, with
+            # K = lane_channels(C) — channel C carries the count map, spare
+            # lanes are zero. One in-place scatter per output replaces the
+            # old per-output + count DUS loops (41 ms -> 5.5 ms per chunk on
+            # v5e; see ops/scatter_pallas.py).
+            ks = tuple(lane_channels(c, rz) for c in out_channels)
+            use_pallas = (
+                jax.devices()[0].platform == "tpu"
+                and os.environ.get("HYBRID_CTUNET_PALLAS_SCATTER", "1") == "1"
+                and X % 2 == 0
+                and rx % 2 == 0
+                and Y % 8 == 0
+                and all((rz * k) % 128 == 0 and (Z * k) % 128 == 0 for k in ks)
+            )
 
             def gather_one(padded, s):
                 return jax.lax.dynamic_slice(
                     padded, (0, s[0], s[1], s[2], 0), (1, *roi, padded.shape[-1])
                 )[0]
 
-            def scatter(acc, contrib, s):
-                def one(i, acc):
-                    cur = jax.lax.dynamic_slice(
-                        acc, (s[i, 0], s[i, 1], s[i, 2], 0), (*roi, acc.shape[-1])
-                    )
-                    return jax.lax.dynamic_update_slice(
-                        acc, cur + contrib[i], (s[i, 0], s[i, 1], s[i, 2], 0)
-                    )
-
-                return jax.lax.fori_loop(0, sw, one, acc)
-
             # ONE fused program per chunk: gather + model forward + weighted
             # scatter-add with donated accumulators. Model params must arrive
             # via pred_args (NOT closure) — constant-folded params blow the
             # remote compiler's request-size limit.
-            @partial(jax.jit, donate_argnums=(0, 1))
-            def chunk_step(accs, cnt, padded, s, v, importance, *pred_args):
+            @partial(jax.jit, donate_argnums=(0,))
+            def chunk_step(accs, padded, s, v, importance, *pred_args):
                 wins = jax.vmap(gather_one, in_axes=(None, 0))(padded, s)
                 preds = self.predictor(wins, *pred_args)
                 preds = preds if isinstance(preds, (tuple, list)) else (preds,)
                 imp = importance[None, ..., None]
                 w_imp = imp * v[:, None, None, None, None]
-                accs = tuple(
-                    scatter(acc, w_imp * p.astype(jnp.float32), s)
-                    for acc, p in zip(accs, preds)
-                )
-                cnt = scatter(cnt, jnp.broadcast_to(w_imp, (sw, *roi, 1)), s)
-                return accs, cnt
+                new_accs = []
+                for acc, p, c, k in zip(accs, preds, out_channels, ks):
+                    contrib = jnp.concatenate(
+                        [
+                            w_imp * p.astype(jnp.float32),
+                            jnp.broadcast_to(w_imp, (sw, *roi, 1)),  # count lane
+                            jnp.zeros((sw, *roi, k - c - 1), jnp.float32),
+                        ],
+                        axis=-1,
+                    ).reshape(sw, rx, ry, rz * k)
+                    s_scaled = s * jnp.asarray([1, 1, k], jnp.int32)
+                    new_accs.append(
+                        scatter_add_windows(acc, contrib, s_scaled, use_pallas=use_pallas)
+                    )
+                return tuple(new_accs)
 
             @jax.jit
-            def finalize(accs, cnt):
-                return tuple(acc / cnt for acc in accs)
+            def finalize(accs):
+                outs = []
+                for acc, c, k in zip(accs, out_channels, ks):
+                    a = acc.reshape(X, Y, Z, k)
+                    outs.append(a[..., :c] / a[..., c : c + 1])
+                return tuple(outs)
 
             def run(padded, starts, valid, importance, *pred_args):
                 # n_chunks is a Python quantity here — the compiled programs
                 # are independent of it, so one build serves every window
                 # count on this canvas shape.
-                accs = tuple(jnp.zeros((X, Y, Z, c), jnp.float32) for c in out_channels)
-                cnt = jnp.zeros((X, Y, Z, 1), jnp.float32)
+                accs = tuple(jnp.zeros((X, Y, Z * k), jnp.float32) for k in ks)
                 chunk_starts = np.asarray(starts).reshape(-1, sw, 3)
                 chunk_valid = np.asarray(valid).reshape(-1, sw)
                 for ci in range(len(chunk_starts)):
-                    accs, cnt = chunk_step(
-                        accs, cnt, padded,
+                    accs = chunk_step(
+                        accs, padded,
                         jnp.asarray(chunk_starts[ci]), jnp.asarray(chunk_valid[ci]),
                         importance, *pred_args,
                     )
-                return finalize(accs, cnt)
+                return finalize(accs)
 
         elif self.mesh is None:
 

@@ -1,0 +1,152 @@
+"""In-place windowed scatter-add for sliding-window blending (Pallas TPU).
+
+The blend step adds ``sw`` weighted 96^3 window contributions into a
+full-volume fp32 accumulator every chunk (reference semantics:
+trainer_CTUNet.py:541-545 ``output_image[slice] += importance * prob;
+count_map[slice] += importance``). Expressed as XLA ``dynamic_slice + add +
+dynamic_update_slice`` (or ``lax.scatter_add``) the compiler materialises
+whole-canvas copies per window: 31-53 ms per 8-window chunk on v5e
+(host-measured; ~41 ms in device traces), vs ~2 ms of actually-moved bytes.
+
+Design (measured 5.5 ms/chunk on v5e, bit-exact vs the XLA loop):
+
+- **Canvas-major grid**: one grid step per ``tx``-row x-slab of the canvas.
+  Each slab is read once and written once per chunk (contiguous multi-MB DMA
+  runs), with the window loop *inside* the kernel — no cross-step hazards, so
+  the pipeline overlaps freely. Within a slab, windows accumulate in window
+  order (bit-exact associativity vs the reference loop).
+- **In place**: ``input_output_aliases`` maps the donated accumulator to the
+  output; the kernel initialises each out-block by DMA from the aliased HBM
+  buffer, adds every intersecting window, and lets the pipeline store it.
+- **Arbitrary window starts**: Mosaic requires VMEM sub-slice offsets aligned
+  to the (8, 128) tile. Window starts are arbitrary (MONAI grid: interval =
+  int(roi*(1-overlap)), edge-clamped — 28 at overlap 0.7). The kernel floors
+  the add-region to the alignment grid (clamped so it stays in the block) and
+  shifts the contribution into place with dynamic ``pltpu.roll``.
+- **Lane layout contract**: canvases carry trailing (Z, C) merged into one
+  minor dim of Z*C lanes; window z-offsets are pre-scaled by C. Manual DMA
+  into VMEM scratch requires the contribution's lane extent (rz*C) to be a
+  multiple of 128, so callers pad the channel dim to ``lane_channels(C)``
+  (e.g. 14 -> 16 at rz=96) — and the spare padded lane carries the count-map
+  contribution for free (one fused scatter per output instead of two).
+
+Empirics that shaped this (v5e via the axon tunnel): per-window slab DMA
+(strided 6 KB runs) moves ~50 GB/s regardless of tile size; contiguous
+canvas-major runs reach memory speed; compile crashes (not errors) for
+manual DMA into non-128-multiple-lane scratch and for >~16 MB VMEM live sets.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# canvas rows per grid step. VMEM live set at C=16: 2x out block
+# (tx,256,2048 f32) + contrib scratch + roll temps — tx=2 fits, tx=4 crashes.
+_TX = 2
+
+# tests flip this to run the kernel under the Pallas interpreter on CPU
+_INTERPRET = False
+
+
+def lane_channels(c: int, rz: int = 96) -> int:
+    """Smallest padded channel count k >= c+1 with rz*k % 128 == 0 (the +1
+    reserves the count-map lane)."""
+    k = c + 1
+    while (rz * k) % 128 != 0:
+        k += 1
+    return k
+
+
+def _kernel_factory(sw: int, tx: int, rx: int, ry: int, rzc: int, sy: int, szc: int):
+    def kernel(starts_ref, acc_hbm, contrib_hbm, out_ref, scratch, sem, sem_init):
+        txi = pl.program_id(0) * tx
+        init = pltpu.make_async_copy(acc_hbm.at[pl.ds(txi, tx)], out_ref, sem_init)
+        init.start()
+        init.wait()
+        Y, ZC = out_ref.shape[1], out_ref.shape[2]
+        for w in range(sw):  # static unroll; windows accumulate in order
+            x0 = starts_ref[w, 0]
+            y0 = starts_ref[w, 1]
+            z0 = starts_ref[w, 2]  # pre-scaled by the channel count
+            inter = jnp.logical_and(txi + tx > x0, txi < x0 + rx)
+
+            @pl.when(inter)
+            def _():
+                cx = jnp.clip(txi - x0, 0, rx - tx)
+                dma = pltpu.make_async_copy(
+                    contrib_hbm.at[w, pl.ds(cx, tx)], scratch, sem
+                )
+                dma.start()
+                dma.wait()
+                ay = pl.multiple_of(jnp.minimum((y0 // 8) * 8, Y - sy), 8)
+                az = pl.multiple_of(jnp.minimum((z0 // 128) * 128, ZC - szc), 128)
+                e = jnp.pad(scratch[:], ((0, 0), (0, sy - ry), (0, szc - rzc)))
+                e = pltpu.roll(e, cx - (txi - x0), 0)  # realign clamped x rows
+                e = pltpu.roll(e, y0 - ay, 1)
+                e = pltpu.roll(e, z0 - az, 2)
+                r = jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0) + (txi - x0)
+                e = jnp.where(jnp.logical_and(r >= 0, r < rx), e, 0.0)
+                out_ref[:, pl.ds(ay, sy), pl.ds(az, szc)] = (
+                    out_ref[:, pl.ds(ay, sy), pl.ds(az, szc)] + e
+                )
+
+    return kernel
+
+
+def _scatter_tpu(acc, contrib, starts):
+    sw, rx, ry, rzc = contrib.shape
+    X, Y, ZC = acc.shape
+    assert rzc % 128 == 0, f"contrib lane extent {rzc} must be 128-multiple"
+    assert X % _TX == 0 and rx % _TX == 0, (X, rx, _TX)
+    sy = min(ry + 8, Y)
+    szc = min(rzc + 128, ZC)
+    assert Y % 8 == 0 and ZC % 128 == 0, (Y, ZC)
+    return pl.pallas_call(
+        _kernel_factory(sw, _TX, rx, ry, rzc, sy, szc),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(X // _TX,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # acc stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # contrib: manual slab DMA
+            ],
+            out_specs=pl.BlockSpec((_TX, Y, ZC), lambda xi, s: (xi, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((_TX, ry, rzc), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(acc.shape, acc.dtype),
+        input_output_aliases={1: 0},  # acc (after scalar-prefetch arg) -> out
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_INTERPRET,
+    )(starts, acc, contrib)
+
+
+def _scatter_xla(acc, contrib, starts):
+    """XLA fallback (CPU/GPU) and the parity oracle in tests — same merged-
+    lane canvas contract, sequential window order."""
+    sw, rx, ry, rzc = contrib.shape
+
+    def one(i, acc):
+        cur = jax.lax.dynamic_slice(
+            acc, (starts[i, 0], starts[i, 1], starts[i, 2]), (rx, ry, rzc)
+        )
+        return jax.lax.dynamic_update_slice(
+            acc, cur + contrib[i], (starts[i, 0], starts[i, 1], starts[i, 2])
+        )
+
+    return jax.lax.fori_loop(0, sw, one, acc)
+
+
+def scatter_add_windows(acc, contrib, starts, *, use_pallas: bool):
+    """acc: (X, Y, Z*K) fp32 merged-lane canvas. contrib: (sw, rx, ry, rz*K)
+    fp32. starts: (sw, 3) int32 with starts[:, 2] pre-scaled by K. Adds every
+    window contribution (in place on TPU). K is typically ``lane_channels(C)``
+    with channel C carrying the count map."""
+    if use_pallas:
+        return _scatter_tpu(acc, contrib, starts)
+    return _scatter_xla(acc, contrib, starts)

@@ -79,3 +79,29 @@ def test_fused_instance_norm_grad(rng):
     g1 = jax.grad(lambda a: jnp.sum(instance_norm_act(a, use_pallas=True) ** 2))(x)
     g2 = jax.grad(lambda a: jnp.sum(reference(a) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5, rtol=1e-5)
+
+
+def test_scatter_add_windows_interpret_matches_xla(rng):
+    """The in-place windowed scatter kernel (ops/scatter_pallas.py) vs the XLA
+    oracle, under the Pallas interpreter on CPU — unaligned window starts,
+    clamped slabs, count-lane layout, overlapping windows."""
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu.ops import scatter_pallas as sp
+
+    sw, rx, ry, rz, k = 4, 4, 8, 32, 4  # rz*k = 128
+    X, Y, Z = 12, 24, 64  # canvas: Y%8==0, Z*k=256 (128-multiple)
+    ZC = Z * k
+    starts = np.asarray(  # unaligned y (sublane) and z (lane) offsets
+        [[0, 0, 0], [3, 5, 20], [8, 16, 32], [7, 9, 7]], np.int32
+    )
+    starts_scaled = starts * np.asarray([1, 1, k], np.int32)
+    contrib = jnp.asarray(rng.standard_normal((sw, rx, ry, rz * k)), jnp.float32)
+    acc0 = jnp.asarray(rng.standard_normal((X, Y, ZC)), jnp.float32)
+
+    ref = sp.scatter_add_windows(acc0, contrib, jnp.asarray(starts_scaled), use_pallas=False)
+    sp._INTERPRET = True
+    try:
+        out = sp.scatter_add_windows(acc0, contrib, jnp.asarray(starts_scaled), use_pallas=True)
+    finally:
+        sp._INTERPRET = False
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6, rtol=1e-6)
