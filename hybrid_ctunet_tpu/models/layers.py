@@ -24,12 +24,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import ffn_pallas
 from ..ops.act import gelu_exact, leaky_relu
 from ..ops.conv import conv3d_same, conv_transpose3d_same
 from ..ops.norm import instance_norm, instance_norm_leaky, layer_norm
 
 
 _REMAT_BLOCKS = True
+
+
+def _pallas_ffn_enabled() -> bool:
+    import os
+
+    return (
+        os.environ.get("HYBRID_CTUNET_PALLAS_FFN", "1") == "1"
+        and jax.devices()[0].platform == "tpu"
+    )
 
 
 def set_remat_blocks(enabled: bool) -> None:
@@ -136,9 +146,27 @@ class Dense(nn.Module):
         return y
 
 
+class _DenseBiasParams(nn.Module):
+    """Param-holder with biased Dense's tree layout ({kernel, bias})."""
+
+    shape: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.shape[1],), jnp.float32),
+        )
+
+
 class FeedForward(nn.Module):
     """LN -> Linear(mult*dim) -> GELU -> Linear(dim)
-    (reference hybrid_CTUNet.py:513-526 / vit.py:31-44)."""
+    (reference hybrid_CTUNet.py:513-526 / vit.py:31-44).
+
+    On TPU at decoder-pyramid scale the op chain runs as one fused Pallas
+    kernel (ops/ffn_pallas.py) that keeps the 4x hidden tile in VMEM — the
+    unfused path is HBM-bound on that intermediate. Same param tree, same
+    op-for-op numerics; backward recomputes through the unfused path."""
 
     mult: float = 4.0
     hidden_dim: int | None = None
@@ -148,11 +176,18 @@ class FeedForward(nn.Module):
     def __call__(self, x):
         dim = x.shape[-1]
         inner = self.hidden_dim if self.hidden_dim is not None else int(dim * self.mult)
-        y = LayerNorm(name="norm")(x)
-        y = Dense(inner, dtype=self.dtype, name="fc1")(y)
-        y = gelu_exact(y)
-        y = Dense(dim, dtype=self.dtype, name="fc2")(y)
-        return y
+        ln_w, ln_b = _LNParams(dim, name="norm")()
+        w1, b1 = _DenseBiasParams((dim, inner), name="fc1")()
+        w2, b2 = _DenseBiasParams((inner, dim), name="fc2")()
+        n_rows = int(np.prod(x.shape[:-1]))
+        if (
+            _pallas_ffn_enabled()
+            and ffn_pallas.supports(n_rows, dim, inner, self.dtype)
+        ):
+            return ffn_pallas.fused_ffn(
+                x, ln_w, ln_b, w1, b1, w2, b2, dtype=self.dtype
+            )
+        return ffn_pallas.reference_ffn(x, ln_w, ln_b, w1, b1, w2, b2, self.dtype)
 
 
 def _rel_pos_indices(window: int) -> np.ndarray:

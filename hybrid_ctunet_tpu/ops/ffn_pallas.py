@@ -1,0 +1,151 @@
+"""Fused transformer FeedForward (LN -> fc1 -> GELU -> fc2) Pallas TPU kernel.
+
+The decoder pyramid's FFNs (reference FeedForward, hybrid_CTUNet.py:513-526)
+are bandwidth-bound in XLA: the 4x-wide hidden activation round-trips HBM
+between the two matmuls (stage-3 pair at 48x48x96x128 x sw8 moves ~7 GB ->
+39 ms/chunk at ~24 TF/s measured on v5e). This kernel tiles the row dimension
+and keeps the hidden tile in VMEM — per-call traffic drops to read-x + write-
+out, and the matmuls run back-to-back on the MXU.
+
+Numerics mirror the unfused path op-for-op (models/layers.py LayerNorm /
+Dense / gelu_exact): fp32 LN (eps 1e-5), bf16 matmul operands with fp32
+accumulation cast back to the compute dtype, bias added in compute dtype,
+exact (erf) GELU. Differences are confined to fp32 accumulation order inside
+the matmul tiles (sub-ulp at bf16).
+
+Backward: custom VJP that recomputes through the reference XLA implementation
+— training numerics and memory behavior are exactly the unfused path's.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LN_EPS = 1e-5
+
+
+def reference_ffn(x, ln_w, ln_b, w1, b1, w2, b2, dtype):
+    """The unfused op sequence (models/layers.py FeedForward), functional."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + _LN_EPS)
+    y = (y * ln_w.astype(jnp.float32) + ln_b.astype(jnp.float32)).astype(x.dtype)
+    h = jnp.dot(y.astype(dtype), w1.astype(dtype), preferred_element_type=jnp.float32)
+    h = h.astype(dtype) + b1.astype(dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    o = jnp.dot(h.astype(dtype), w2.astype(dtype), preferred_element_type=jnp.float32)
+    return o.astype(dtype) + b2.astype(dtype)
+
+
+def _erf32(x):
+    """fp32 erf via Abramowitz-Stegun 7.1.26 (max abs err 1.5e-7 — an order
+    below bf16 resolution). Mosaic has no erf/erfc primitive."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, dtype):
+    xf = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + _LN_EPS)
+    y = (y * lnw_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)).astype(dtype)
+    h = jnp.dot(y, w1_ref[:].astype(dtype), preferred_element_type=jnp.float32)
+    h = h.astype(dtype) + b1_ref[0].astype(dtype)
+    # exact GELU via erf; fp32 internals, re-rounded to the compute dtype at
+    # the op boundary like XLA's
+    hf = h.astype(jnp.float32)
+    h = (0.5 * hf * (1.0 + _erf32(hf * 0.7071067811865476))).astype(dtype)
+    o = jnp.dot(h, w2_ref[:].astype(dtype), preferred_element_type=jnp.float32)
+    out_ref[:] = o.astype(dtype) + b2_ref[0].astype(dtype)
+
+
+def _row_tile(c: int, h: int) -> int:
+    # keep the fp32 hidden tile (plus the GELU chain's temporaries) inside
+    # the ~16 MB VMEM budget: target 1 MB for the hidden tile
+    import os
+
+    if "HYBRID_CTUNET_FFN_TN" in os.environ:
+        return int(os.environ["HYBRID_CTUNET_FFN_TN"])
+    return max(256, min(1024, (1024 * 1024) // (2 * h)))
+
+
+def _fused_ffn_impl(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret):
+    n, c = x2d.shape
+    h = w1.shape[1]
+    tn = _row_tile(c, h)
+    n_pad = -(-n // tn) * tn
+    xp = jnp.pad(x2d, ((0, n_pad - n), (0, 0)))
+    vec = lambda v: v.reshape(1, -1)
+    out = pl.pallas_call(
+        functools.partial(_kernel, dtype=dtype),
+        grid=(n_pad // tn,),
+        in_specs=[
+            pl.BlockSpec((tn, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((h, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tn, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), dtype),
+        interpret=interpret,
+    )(xp, vec(ln_w), vec(ln_b), w1, vec(b1), w2, vec(b2))
+    return out[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused_ffn(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret):
+    return _fused_ffn_impl(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret)
+
+
+def _fwd(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret):
+    return _fused_ffn(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret), (
+        x2d, ln_w, ln_b, w1, b1, w2, b2,
+    )
+
+
+def _bwd(dtype, interpret, res, g):
+    # recompute through the reference path: training numerics unchanged
+    _, vjp = jax.vjp(lambda *a: reference_ffn(*a, dtype), *res)
+    return vjp(g)
+
+
+_fused_ffn.defvjp(_fwd, _bwd)
+
+
+def supports(n_rows: int, c: int, hidden: int, dtype) -> bool:
+    """Fast path applies to the decoder-pyramid scale: bf16, aligned dims,
+    weights + one fp32 hidden tile comfortably in VMEM, and enough rows to
+    amortize the weight residency."""
+    return (
+        dtype == jnp.bfloat16
+        and c % 128 == 0
+        and hidden % 128 == 0
+        # c=512 (stage-1) measures at parity with XLA — the win is the big
+        # spatial stages where the hidden tensor dwarfs VMEM-able tiles
+        and hidden <= 1024
+        and n_rows >= 65536
+    )
+
+
+def fused_ffn(x, ln_w, ln_b, w1, b1, w2, b2, *, dtype, interpret=False):
+    """x: (..., C) -> (..., C); parameters as stored by FeedForward
+    (fp32 leaves; cast inside, matching models/layers.py)."""
+    shape = x.shape
+    x2d = x.reshape(-1, shape[-1])
+    out = _fused_ffn(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret)
+    return out.reshape(shape)

@@ -105,3 +105,39 @@ def test_scatter_add_windows_interpret_matches_xla(rng):
     finally:
         sp._INTERPRET = False
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6, rtol=1e-6)
+
+
+def test_fused_ffn_interpret_matches_reference(rng):
+    """ops/ffn_pallas.py fused kernel vs the unfused op chain, interpreter
+    mode, bf16, ragged row count."""
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu.ops import ffn_pallas
+
+    c, h = 128, 512
+    x = jnp.asarray(rng.standard_normal((3, 7, 11, c)), jnp.bfloat16)
+    ln_w = jnp.asarray(rng.standard_normal((c,)) * 0.1 + 1.0, jnp.float32)
+    ln_b = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((c, h)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((h,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((h, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+
+    ref = ffn_pallas.reference_ffn(x, ln_w, ln_b, w1, b1, w2, b2, jnp.bfloat16)
+    out = ffn_pallas.fused_ffn(x, ln_w, ln_b, w1, b1, w2, b2, dtype=jnp.bfloat16, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2
+    )
+
+    # grad flows through the custom VJP (reference recompute)
+    import jax
+    g = jax.grad(
+        lambda xx: jnp.sum(
+            ffn_pallas.fused_ffn(xx, ln_w, ln_b, w1, b1, w2, b2, dtype=jnp.bfloat16, interpret=True).astype(jnp.float32) ** 2
+        )
+    )(x)
+    gr = jax.grad(
+        lambda xx: jnp.sum(
+            ffn_pallas.reference_ffn(xx, ln_w, ln_b, w1, b1, w2, b2, jnp.bfloat16).astype(jnp.float32) ** 2
+        )
+    )(x)
+    np.testing.assert_allclose(np.asarray(g, np.float32), np.asarray(gr, np.float32), atol=2e-2, rtol=2e-2)
