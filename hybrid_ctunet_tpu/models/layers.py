@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import ffn_pallas
+from ..ops import attention_pallas, ffn_pallas
 from ..ops.act import gelu_exact, leaky_relu
 from ..ops.conv import conv3d_same, conv_transpose3d_same
 from ..ops.norm import instance_norm, instance_norm_leaky, layer_norm
@@ -33,13 +33,17 @@ from ..ops.norm import instance_norm, instance_norm_leaky, layer_norm
 _REMAT_BLOCKS = True
 
 
-def _pallas_ffn_enabled() -> bool:
+def _pallas_enabled(env_suffix: str) -> bool:
     import os
 
     return (
-        os.environ.get("HYBRID_CTUNET_PALLAS_FFN", "1") == "1"
+        os.environ.get(f"HYBRID_CTUNET_PALLAS_{env_suffix}", "1") == "1"
         and jax.devices()[0].platform == "tpu"
     )
+
+
+def _pallas_ffn_enabled() -> bool:
+    return _pallas_enabled("FFN")
 
 
 def set_remat_blocks(enabled: bool) -> None:
@@ -243,12 +247,6 @@ class MultiAxisWindowAttention(nn.Module):
         qkv = Dense(3 * C, use_bias=False, dtype=self.dtype, name="to_qkv")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def split_heads(t):
-            return t.reshape(B * nwin, tokens, heads, self.dim_head).transpose(0, 2, 1, 3)
-
-        q, k, v = split_heads(q) * scale, split_heads(k), split_heads(v)
-        sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
-
         bias_table = self.param(
             "rel_pos_bias",
             nn.initializers.normal(1.0),
@@ -256,12 +254,19 @@ class MultiAxisWindowAttention(nn.Module):
             jnp.float32,
         )
         idx = jnp.asarray(_rel_pos_indices(w))
-        bias = bias_table[idx]  # (T, T, heads)
-        sim = sim + bias.transpose(2, 0, 1)[None]
+        bias = bias_table[idx].transpose(2, 0, 1)  # (heads, T, T)
 
-        attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32)
-        out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B * nwin, tokens, C)
+        if _pallas_enabled("ATTN") and attention_pallas.supports(
+            B * nwin, tokens, C, heads, self.dtype
+        ):
+            # fused kernel: the fp32 score tensor never touches HBM
+            out = attention_pallas.fused_window_attention(
+                q * scale, k, v, bias, dtype=self.dtype
+            )
+        else:
+            out = attention_pallas.reference_window_attention(
+                q * scale, k, v, bias, self.dtype
+            )
         out = Dense(C, use_bias=False, dtype=self.dtype, name="to_out")(out)
 
         out = out.reshape(B, nx, ny, nz, w, w, w, C)

@@ -141,3 +141,30 @@ def test_fused_ffn_interpret_matches_reference(rng):
         )
     )(x)
     np.testing.assert_allclose(np.asarray(g, np.float32), np.asarray(gr, np.float32), atol=2e-2, rtol=2e-2)
+
+
+def test_fused_window_attention_interpret_matches_reference(rng):
+    """ops/attention_pallas.py fused kernel vs the unfused einsum path,
+    interpreter mode, bf16, ragged window count."""
+    import jax
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu.ops import attention_pallas as ap
+
+    n, t, heads, dh = 5, 27, 4, 16  # ragged: n%tb != 0
+    c = heads * dh
+    q = jnp.asarray(rng.standard_normal((n, t, c)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((n, t, c)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((n, t, c)), jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((heads, t, t)), jnp.float32)
+
+    ref = ap.reference_window_attention(q, k, v, bias, jnp.bfloat16)
+    out = ap.fused_window_attention(q, k, v, bias, dtype=jnp.bfloat16, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2
+    )
+
+    g = jax.grad(lambda qq: jnp.sum(
+        ap.fused_window_attention(qq, k, v, bias, dtype=jnp.bfloat16, interpret=True).astype(jnp.float32) ** 2))(q)
+    gr = jax.grad(lambda qq: jnp.sum(
+        ap.reference_window_attention(qq, k, v, bias, jnp.bfloat16).astype(jnp.float32) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g, np.float32), np.asarray(gr, np.float32), atol=3e-2, rtol=3e-2)
