@@ -380,6 +380,18 @@ class _SplitInputConv3d(nn.Module):
             (*k, ca + cb, self.features),
             jnp.float32,
         )
+        import os
+
+        # Standalone the materialized wide-Cin conv wins (-9 ms on the 96^3
+        # decoder0 block) but END TO END virtual is worth +1.2 vol/min — XLA
+        # fuses the two half convs with their producers. Default virtual;
+        # toggle kept for study.
+        if os.environ.get("HYBRID_CTUNET_VIRTUAL_CONCAT", "1") == "0":
+            # materialized strategy: one wide-Cin conv (wide Cin runs at a
+            # higher MXU rate; the concat copy can be cheaper than the rate
+            # loss of two half-Cin convs — shape-dependent, hence the toggle)
+            ab = jnp.concatenate([a.astype(self.dtype), b.astype(self.dtype)], axis=-1)
+            return conv3d_same(ab, w.astype(self.dtype), self.stride, preferred_dtype=self.dtype)
         wa = w[..., :ca, :].astype(self.dtype)
         wb = w[..., ca:, :].astype(self.dtype)
         ya = conv3d_same(a.astype(self.dtype), wa, self.stride, preferred_dtype=self.dtype)

@@ -90,6 +90,30 @@ def conv3d_same(
     s = _triple(stride)
     k = w.shape[:3]
     p = same_padding(k, s)
+    import os
+
+    cin1_mul = os.environ.get("HYBRID_CTUNET_CIN1_MUL", "1") == "1"
+    # standalone the s2d-z rewrite wins (18.8 -> 15.1 ms) but in-model XLA's
+    # fusion of the plain conv with the downstream InstanceNorm is worth more
+    # (-0.2 vol/min end to end) — default off, kept for study
+    cin1_s2d = os.environ.get("HYBRID_CTUNET_CIN1_S2D", "0") == "1"
+    if cin1_mul and w.shape[3] == 1 and k == (1, 1, 1):
+        # Cin=1 pointwise conv: a K=1 "matmul" runs at ~0.1 TF/s on the MXU
+        # (measured v5e). It is just a broadcast outer product — elementwise.
+        xs = x[:, :: s[0], :: s[1], :: s[2], :]
+        return xs.astype(preferred_dtype) * w[0, 0, 0, 0, :].astype(preferred_dtype)
+    if (
+        cin1_s2d
+        and w.shape[3] == 1
+        and k == (3, 3, 3)
+        and s == (1, 1, 1)
+        and x.shape[3] % 2 == 0
+    ):
+        # Cin=1 3x3x3 stride-1 (the conv-stem first conv): no lane dimension
+        # -> ~1.3 TF/s measured. Tap-exact 2x space-to-depth along z: the conv
+        # becomes (3,3,2) over Cin=2 (z-parities) producing both output
+        # parities as channel blocks — 1.33x the FLOPs at full MXU lanes.
+        return _cin1_s2dz_conv(x, w, preferred_dtype)
     if (
         w.shape[3] == 1
         and s[0] == 2 and s[1] == 2 and s[2] == 1
@@ -112,6 +136,36 @@ def conv3d_same(
         dimension_numbers=dn,
         preferred_element_type=preferred_dtype,
     )
+
+
+def _cin1_s2dz_conv(x, w, preferred_dtype):
+    """conv(x, w, stride=1, SAME) with Cin=1, k=3^3, via 2x space-to-depth on
+    the z axis. For out z = 2q+r (xp = x padded by 1):
+      r=0: w_z0*xe[q] + w_z1*xo[q] + w_z2*xe[q+1]
+      r=1: w_z0*xo[q] + w_z1*xe[q+1] + w_z2*xo[q+1]
+    with xe/xo the even/odd z-planes of xp — a (3,3,2)-kernel Cin=2 conv
+    producing both parity classes as Cout blocks. Taps rearranged exactly."""
+    B, X, Y, Z, _ = x.shape
+    cout = w.shape[4]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))  # z length Z+2
+    # z-parity split is a free reshape: z = 2m + p with the pair adjacent
+    xs = xp.reshape(B, X + 2, Y + 2, (Z + 2) // 2, 2)  # Cin=2 (xe, xo)
+    wk = jnp.zeros((3, 3, 2, 2, 2 * cout), w.dtype)
+    w_z = [w[:, :, t, 0, :] for t in range(3)]  # (3,3,cout) each
+    # (zin parity p, tap offset u) -> which original z-tap feeds class r
+    wk = wk.at[:, :, 0, 0, 0:cout].set(w_z[0])       # r=0: xe[q]   <- w_z0
+    wk = wk.at[:, :, 0, 1, 0:cout].set(w_z[1])       # r=0: xo[q]   <- w_z1
+    wk = wk.at[:, :, 1, 0, 0:cout].set(w_z[2])       # r=0: xe[q+1] <- w_z2
+    wk = wk.at[:, :, 0, 1, cout:].set(w_z[0])        # r=1: xo[q]   <- w_z0
+    wk = wk.at[:, :, 1, 0, cout:].set(w_z[1])        # r=1: xe[q+1] <- w_z1
+    wk = wk.at[:, :, 1, 1, cout:].set(w_z[2])        # r=1: xo[q+1] <- w_z2
+    dn = _DN(xs.shape, wk.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    out = lax.conv_general_dilated(
+        xs, wk, (1, 1, 1), "VALID", dimension_numbers=dn,
+        preferred_element_type=preferred_dtype,
+    )  # (B, X, Y, Z/2, 2*cout)
+    out = out.reshape(B, X, Y, Z // 2, 2, cout)
+    return out.reshape(B, X, Y, Z, cout)
 
 
 def _stem_s2d_conv(x, w, p, preferred_dtype):

@@ -123,3 +123,42 @@ def test_s2d_stem_matches_native_conv(rng):
                                         preferred_element_type=jnp.float32)
         assert out.shape == want.shape
         np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=5e-5, rtol=1e-5)
+
+
+def test_cin1_fast_paths_match_native_conv(rng):
+    """Cin=1 rewrites (1^3 broadcast multiply; 3^3 z-space-to-depth) must
+    equal the native conv path exactly (taps rearranged, never approximated)."""
+    import jax.numpy as jnp
+    from jax import lax
+    from hybrid_ctunet_tpu.ops.conv import conv3d_same, same_padding
+
+    def native(x, w, s):
+        p = same_padding(w.shape[:3], s)
+        dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        return lax.conv_general_dilated(x, w, s, [(pi, pi) for pi in p],
+                                        dimension_numbers=dn,
+                                        preferred_element_type=jnp.float32)
+
+    x = jnp.asarray(rng.standard_normal((2, 10, 12, 8, 1)), jnp.float32)
+    # 1x1x1 Cin=1, strides 1 and 2
+    w1 = jnp.asarray(rng.standard_normal((1, 1, 1, 1, 16)) * 0.2, jnp.float32)
+    for s in [(1, 1, 1), (2, 2, 1)]:
+        out = conv3d_same(x, w1, s)
+        want = native(x, w1, s)
+        assert out.shape == want.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6, rtol=1e-6)
+    # 3x3x3 Cin=1 stride 1 (even z -> s2d path; odd z -> fallback).
+    # The s2d-z path is default-off (slower in-model); force it on here.
+    import os
+    os.environ["HYBRID_CTUNET_CIN1_S2D"] = "1"
+    try:
+        w3 = jnp.asarray(rng.standard_normal((3, 3, 3, 1, 16)) * 0.2, jnp.float32)
+        out = conv3d_same(x, w3, 1)
+        want = native(x, w3, (1, 1, 1))
+        assert out.shape == want.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=5e-6, rtol=1e-5)
+        x_odd = jnp.asarray(rng.standard_normal((1, 8, 8, 7, 1)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(conv3d_same(x_odd, w3, 1)),
+                                   np.asarray(native(x_odd, w3, (1, 1, 1))), atol=5e-6, rtol=1e-5)
+    finally:
+        os.environ.pop("HYBRID_CTUNET_CIN1_S2D", None)
