@@ -56,7 +56,11 @@ def main():
         # (non-multiples regress XLA layouts ~10%); sw16 TUNet exceeds HBM
         # with split-concat conv live sets — sw8 also wastes fewer slots
         # (19x8=152 for 147 windows).
-        vol_shape, sw_ct, sw_tu = VOLUME_SHAPE, 8, 8
+        import os
+
+        vol_shape = VOLUME_SHAPE
+        sw_ct = int(os.environ.get("BENCH_SW_CT", "8"))
+        sw_tu = int(os.environ.get("BENCH_SW_TU", "8"))
         ct_kwargs = dict(out_channels=14, model_depth=101, patch_frame=8)
         tu_kwargs = dict(out_channels=14, patch_frame=8)
         reps = 3

@@ -115,6 +115,19 @@ def conv3d_same(
         # parities as channel blocks — 1.33x the FLOPs at full MXU lanes.
         return _cin1_s2dz_conv(x, w, preferred_dtype)
     if (
+        os.environ.get("HYBRID_CTUNET_ZPAIR", "0") == "1"
+        and k == (3, 3, 3)
+        and s == (1, 1, 1)
+        and 32 <= w.shape[3]
+        and w.shape[4] <= int(os.environ.get("HYBRID_CTUNET_ZPAIR_MAX_COUT", "64"))
+        and x.shape[3] % 2 == 0
+    ):
+        # paired-output conv: compute two z-adjacent outputs per position via
+        # a (3,3,4) kernel with doubled Cout blocks — N 64 -> 128 on the MXU
+        # at 1.33x the taps (tap-exact). 50 -> 56 TF/s at 64ch, 9.5 -> 12.2
+        # at 32ch, measured standalone.
+        return _zpair_conv(x, w, preferred_dtype)
+    if (
         w.shape[3] == 1
         and s[0] == 2 and s[1] == 2 and s[2] == 1
         and k[0] == 7 and k[1] == 7
@@ -136,6 +149,24 @@ def conv3d_same(
         dimension_numbers=dn,
         preferred_element_type=preferred_dtype,
     )
+
+
+def _zpair_conv(x, w, preferred_dtype):
+    """Stride-1 SAME 3^3 conv computing z-output pairs: kernel (3,3,4) with
+    Cout blocks [taps 0..2 | taps 1..3], z-stride 2, un-paired by reshape.
+    Taps duplicated, never approximated."""
+    B, X, Y, Z, C = x.shape
+    cout = w.shape[4]
+    wk = jnp.zeros((3, 3, 4, C, 2 * cout), w.dtype)
+    wk = wk.at[:, :, 0:3, :, 0:cout].set(w)
+    wk = wk.at[:, :, 1:4, :, cout:].set(w)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    dn = _DN(xp.shape, wk.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    out = lax.conv_general_dilated(
+        xp, wk, (1, 1, 2), "VALID", dimension_numbers=dn,
+        preferred_element_type=preferred_dtype,
+    )  # (B, X, Y, Z/2, 2*cout)
+    return out.reshape(B, X, Y, Z // 2, 2, cout).reshape(B, X, Y, Z, cout)
 
 
 def _cin1_s2dz_conv(x, w, preferred_dtype):

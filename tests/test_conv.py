@@ -162,3 +162,25 @@ def test_cin1_fast_paths_match_native_conv(rng):
                                    np.asarray(native(x_odd, w3, (1, 1, 1))), atol=5e-6, rtol=1e-5)
     finally:
         os.environ.pop("HYBRID_CTUNET_CIN1_S2D", None)
+
+
+def test_zpair_conv_matches_native(rng):
+    """Paired-output conv rewrite (env-gated, default off) must equal the
+    native conv exactly."""
+    import os
+    import jax.numpy as jnp
+    from jax import lax
+    from hybrid_ctunet_tpu.ops.conv import conv3d_same
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 10, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 32, 32)) * 0.1, jnp.float32)
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    want = lax.conv_general_dilated(x, w, (1, 1, 1), [(1, 1)] * 3,
+                                    dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32)
+    os.environ["HYBRID_CTUNET_ZPAIR"] = "1"
+    try:
+        out = conv3d_same(x, w, 1)
+    finally:
+        os.environ.pop("HYBRID_CTUNET_ZPAIR", None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=5e-6, rtol=1e-5)
