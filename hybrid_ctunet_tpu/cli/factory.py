@@ -61,6 +61,22 @@ def build_state(args, model, example_shape=None):
     )
     start_epoch, best_acc = 0, 0.0
 
+    if getattr(args, "resume_jit", False):
+        # reference main_C_TUNet.py:159-163 loads a TorchScript archive;
+        # TorchScript has no JAX/TPU equivalent — fail loudly instead of
+        # silently training from scratch
+        raise SystemExit(
+            "--resume_jit loads a TorchScript module (reference main_C_TUNet.py:159); "
+            "TorchScript is not executable on the TPU stack. Export the weights to a "
+            "state_dict .pt and use --resume_ckpt instead."
+        )
+    if getattr(args, "resume_ckpt", False):
+        # reference main_C_TUNet.py:154-157: weights-only load from
+        # pretrained_dir/pretrained_model_name
+        ppath = os.path.join(args.pretrained_dir, args.pretrained_model_name)
+        state = state.replace(params=load_eval_params(args, args.model_name, ppath))
+        print("Use pretrained weights")
+
     path = getattr(args, "checkpoint", None)
     if path:
         # orbax checkpoints are directories (even when named *.pt to match
