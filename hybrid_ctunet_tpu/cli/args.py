@@ -83,6 +83,10 @@ def _common(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     add("--num_depths", default=12, type=int, help="number of depths in ViT")
     add("--infer_overlap", default=0.5, type=float, help="sliding window inference overlap")
     add("--dropout_rate", default=0.0, type=float, help="dropout rate")
+    add("--window", default=6, type=int,
+        help="decoder window-attention size (TPU addition: the reference "
+             "hardcodes 6, which only fits 96^3 inputs; smaller windows "
+             "enable reduced-size runs)")
     add("--patch_frame", default=8, type=int, help="patch frame")
     add("--grad_accum", default=1, type=int,
         help="gradient-accumulation microbatches per optimizer step "

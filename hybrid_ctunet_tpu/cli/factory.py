@@ -31,6 +31,7 @@ def build_model(args):
         num_heads=args.num_heads,
         dropout_rate=args.dropout_rate,
         dim_conv_stem=args.feature_size,
+        window=getattr(args, "window", 6),
     )
     if name == "cunet":
         return CUNet(model_depth=args.model_depths, **common)

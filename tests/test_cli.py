@@ -258,3 +258,60 @@ def test_resume_flags(tmp_path):
     a = jax.tree_util.tree_leaves(state0.params)[0]
     b = jax.tree_util.tree_leaves(state3.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_cli_ctunet_and_final(tmp_path):
+    """End-to-end CLI parity for the two flagship eval entries at tiny size:
+    test_ctunet (3-checkpoint dual-pass, reference test_CTUNet.py) and
+    test_final (Hybrid-CTUNet ensemble + HD95, test_CTUNet_final.py)."""
+    import jax
+    import numpy as np
+    from hybrid_ctunet_tpu.cli.args import build_test_parser
+    from hybrid_ctunet_tpu.cli.factory import build_model, build_state
+    from hybrid_ctunet_tpu.cli.test_main import test_ctunet, test_final
+    from hybrid_ctunet_tpu.data.synthetic import write_synthetic_dataset
+    from hybrid_ctunet_tpu.train.checkpoint import save_checkpoint
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    json_path = write_synthetic_dataset(data_dir, n_train=1, n_val=1, shape=(48, 48, 40))
+
+    tiny = [
+        f"--data_dir={data_dir}", f"--json_list={os.path.basename(json_path)}",
+        "--roi_x=32", "--roi_y=32", "--roi_z=32", "--out_channels=3",
+        "--model_depths=50", "--patch_frame=8", "--hidden_size=64",
+        "--num_depths=1", "--mlp_dim=128", "--num_heads=2", "--feature_size=16",
+        "--window=2", "--noamp", "--space_x=1.5", "--space_y=1.5", "--space_z=2.0",
+    ]
+
+    # save three CTUNet checkpoints + one TUNet checkpoint (orbax dirs with
+    # the reference .pt filenames)
+    parser = build_test_parser("ctunet")
+    args = parser.parse_args(tiny)
+    args.test_mode = True
+    args.model_name = "ctunet"
+    ct_state, _, _ = build_state(args, build_model(args))
+    pre = tmp_path / "pre"
+    for name in ("model_res.pt", "model_vit.pt", "model_hybrid.pt"):
+        save_checkpoint(str(pre), name, ct_state, epoch=0, best_acc=0.0)
+    args.model_name = "tunet"
+    tu_state, _, _ = build_state(args, build_model(args))
+    tu_dir = tmp_path / "tunet"
+    save_checkpoint(str(tu_dir), "model_vit.pt", tu_state, epoch=0, best_acc=0.0)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        results = test_ctunet(tiny + [f"--pretrained_dir={pre}", "--exp_name=ct3"])
+        assert set(results) == {"res+vit", "hybrid"}
+        for rows in results.values():
+            assert np.isfinite(rows).all()
+        assert os.path.exists(tmp_path / "outputs" / "ct3" / "dice_hybrid.txt")
+
+        final = test_final(tiny + [
+            f"--ctunet_dir={pre}", f"--tunet_dir={tu_dir}", "--exp_name=fin",
+        ])
+        assert np.isfinite(final["dice"]).all()
+        assert final["hd95"] is not None
+    finally:
+        os.chdir(cwd)
