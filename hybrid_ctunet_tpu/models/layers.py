@@ -297,6 +297,27 @@ class PixelShuffleLinear(nn.Module):
         if C % div != 0:
             raise ValueError(f"channels {C} not divisible by prod(factor) {div}")
         cp = C // div
+        import os
+
+        # Standalone the K=C' per-voxel Linear is pathological (~1.3 TF/s at
+        # stage 3) and the block-diag matmul ~10x faster — but END TO END it
+        # regresses 9.71 -> 9.31 vol/min (the fourth standalone-vs-in-model
+        # reversal: XLA fuses the small Dense + shuffle permutes into their
+        # neighbors). Default off; kept for study with an equivalence test.
+        if os.environ.get("HYBRID_CTUNET_SHUFFLE_BD", "0") == "1" and div > 1:
+            w, b = _DenseBiasParams((cp, self.features), name="to_out")()
+            F = self.features
+            wb = jnp.zeros((C, div * F), w.dtype)
+            for o in range(div):  # channel ci = cp_i*div + o -> out col o*F+f
+                wb = wb.at[o::div, o * F : (o + 1) * F].set(w)
+            y = jnp.dot(
+                x.astype(self.dtype), wb.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+            y = y + jnp.tile(b.astype(self.dtype), div)
+            y = y.reshape(B, X, Y, Z, f0, f1, f2, F)
+            y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+            return y.reshape(B, X * f0, Y * f1, Z * f2, F)
         x = x.reshape(B, X, Y, Z, cp, f0, f1, f2)
         x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)  # (B, X, f0, Y, f1, Z, f2, C')
         x = x.reshape(B, X * f0, Y * f1, Z * f2, cp)

@@ -109,3 +109,24 @@ def test_cunet_tiny_forward_runs():
     out = model.apply(variables, x)
     assert out[0].shape == (1, 48, 48, 48, 3)
     assert not np.isnan(np.asarray(out[0])).any()
+
+
+def test_pixelshuffle_blockdiag_matches_default(rng):
+    """Env-gated block-diagonal PixelShuffleLinear path (default off) equals
+    the reference small-Dense path."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu.models.layers import PixelShuffleLinear
+
+    x = jnp.asarray(rng.standard_normal((2, 4, 5, 6, 128)), jnp.float32)
+    for factor, feats in [((2, 2, 2), 64), ((2, 2, 1), 32)]:
+        mod = PixelShuffleLinear(factor, feats)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        os.environ["HYBRID_CTUNET_SHUFFLE_BD"] = "1"
+        try:
+            y1 = mod.apply(params, x)
+        finally:
+            os.environ.pop("HYBRID_CTUNET_SHUFFLE_BD", None)
+        y0 = mod.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=5e-6, rtol=1e-5)
