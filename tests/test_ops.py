@@ -178,3 +178,20 @@ def test_warmup_cosine_matches_reference_closed_form():
     assert got[warmup - 1] == pytest.approx(base, rel=1e-6)
     full = float(warmup_cosine_lr(maxe, base_lr=base, warmup_epochs=warmup, max_epochs=maxe))
     assert full == pytest.approx(0.0, abs=1e-12)
+
+
+def test_winograd_reference_matches_direct_conv(rng):
+    """F(2,3)^3 transforms (ops/winograd.py — round-2 kernel building block)
+    vs direct convolution."""
+    import jax.numpy as jnp
+    from jax import lax
+    from hybrid_ctunet_tpu.ops.winograd import conv3x3_winograd_reference
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 6, 10, 5)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 5, 7)) * 0.2, jnp.float32)
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    want = lax.conv_general_dilated(x, w, (1, 1, 1), [(1, 1)] * 3,
+                                    dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32)
+    got = conv3x3_winograd_reference(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
