@@ -55,30 +55,45 @@ def _erf32(x):
     return s * (1.0 - poly * jnp.exp(-a * a))
 
 
+_H_CHUNK = 256  # hidden-dim streaming chunk: bounds fp32 GELU temps to
+# (tn, 256) regardless of the hidden width, so the row tile can grow
+
+
 def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, dtype):
     xf = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + _LN_EPS)
     y = (y * lnw_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)).astype(dtype)
-    h = jnp.dot(y, w1_ref[:].astype(dtype), preferred_element_type=jnp.float32)
-    h = h.astype(dtype) + b1_ref[0].astype(dtype)
-    # exact GELU via erf; fp32 internals, re-rounded to the compute dtype at
-    # the op boundary like XLA's
-    hf = h.astype(jnp.float32)
-    h = (0.5 * hf * (1.0 + _erf32(hf * 0.7071067811865476))).astype(dtype)
-    o = jnp.dot(h, w2_ref[:].astype(dtype), preferred_element_type=jnp.float32)
-    out_ref[:] = o.astype(dtype) + b2_ref[0].astype(dtype)
+    hidden = w1_ref.shape[1]
+    ck = min(_H_CHUNK, hidden)
+    acc = None
+    for j in range(0, hidden, ck):  # static unroll; split-K accumulation
+        h = jnp.dot(
+            y, w1_ref[:, j : j + ck].astype(dtype), preferred_element_type=jnp.float32
+        )
+        h = h.astype(dtype) + b1_ref[0, j : j + ck].astype(dtype)
+        # exact GELU via erf; fp32 internals, re-rounded to the compute dtype
+        # at the op boundary like XLA's
+        hf = h.astype(jnp.float32)
+        h = (0.5 * hf * (1.0 + _erf32(hf * 0.7071067811865476))).astype(dtype)
+        p = jnp.dot(
+            h, w2_ref[j : j + ck, :].astype(dtype), preferred_element_type=jnp.float32
+        )
+        acc = p if acc is None else acc + p
+    out_ref[:] = acc.astype(dtype) + b2_ref[0].astype(dtype)
 
 
 def _row_tile(c: int, h: int) -> int:
-    # keep the fp32 hidden tile (plus the GELU chain's temporaries) inside
-    # the ~16 MB VMEM budget: target 1 MB for the hidden tile
+    # hidden is streamed in _H_CHUNK slices, so the row tile is bounded by
+    # the x/out blocks and the (tn, _H_CHUNK) fp32 GELU temps
     import os
 
     if "HYBRID_CTUNET_FFN_TN" in os.environ:
         return int(os.environ["HYBRID_CTUNET_FFN_TN"])
-    return max(256, min(1024, (1024 * 1024) // (2 * h)))
+    # tn=2048 still crashes the remote compiler at c=128 even with hidden
+    # streaming; 1024 measures identical to larger tiles where they compile
+    return 1024
 
 
 def _fused_ffn_impl(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret):
