@@ -156,3 +156,31 @@ def test_ctunet_golden_full(rng):
     (o0, o48, o24), (q0, q96) = model.apply(params, jnp.asarray(x))
     for o, w_ in zip((o0, o48, o24, q0, q96), want):
         np.testing.assert_allclose(np.asarray(o), w_, rtol=5e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_tunet_golden_full(rng):
+    """Full standalone TUNet (pf 8) forward parity at (96,96,48) — covers the
+    TUNet class's own nesting (TUNetCore under 'core') and its H,W,F dims
+    ordering (reference hybrid_CTUNet.py:1023 vs CTUNet's F,H,W at :819)."""
+    from networks.hybrid_CTUNet import TUNet as RefTUNet
+    from hybrid_ctunet_tpu.models import TUNet
+
+    ref = RefTUNet(
+        in_channels=1,
+        dim_conv_stem=64,
+        out_channels=14,
+        img_size=(96, 96),
+        frames=48,
+        patch_frame=8,
+    ).eval()
+    x = rng.standard_normal((1, 96, 96, 48, 1)).astype(np.float32)
+    with torch.no_grad():
+        v0, v96 = ref(_ncdhw(x))
+    want = [_to_channels_last(t) for t in (v0, v96)]
+
+    params = ti.convert_tunet(_sd(ref))
+    model = TUNet(out_channels=14, img_size=(96, 96), frames=48, patch_frame=8)
+    q0, q96 = model.apply(params, jnp.asarray(x))
+    for o, w_ in zip((q0, q96), want):
+        np.testing.assert_allclose(np.asarray(o), w_, rtol=5e-3, atol=1e-3)
