@@ -163,7 +163,19 @@ def test_final(argv=None):
     p_ct = load_eval_params(args, "ctunet", os.path.join(args.ctunet_dir, "model_res.pt"))
     p_tu = load_eval_params(args, "tunet", os.path.join(args.tunet_dir, "model_vit.pt"))
 
-    eng_ct = _dual_engine(ctunet, args, overlap=0.5)
+    # the ensemble uses only the res head (reference
+    # sliding_window_inference_multi(...)[0], test_CTUNet_final.py:539) — a
+    # single-output predictor lets XLA dead-code-eliminate the entire vit
+    # branch per window and skips accumulating a full-volume map that would
+    # be discarded (identical result, ~25% faster)
+    def _ct_res_only(x, params):
+        (res, _, _), _ = ctunet.apply({"params": params}, x)
+        return res
+
+    eng_ct = SlidingWindowEngine(
+        _ct_res_only, (args.roi_x, args.roi_y, args.roi_z), sw_batch_size=4,
+        overlap=0.5, mode="gaussian",
+    )
     eng_tu = _single_engine(tunet, args, overlap=0.7)
 
     infers, labels, names, vpv = [], [], [], []
