@@ -1,0 +1,91 @@
+"""Process-wide performance toggles, snapshotted from the environment ONCE.
+
+Every ``HYBRID_CTUNET_*`` env knob used to be read inside model/op code at
+trace time. Because the jit cache is keyed on shapes (not on env state),
+flipping a variable after a function had compiled silently kept the stale
+path alive — a long-lived process (bench harness, test session) could report
+results for a path it was no longer nominally running.
+
+This module makes the semantics explicit: flags are read once at import into
+module attributes, and changing the environment afterwards has NO effect
+unless you call :func:`refresh`, which re-reads the environment AND clears
+jax's compilation caches so the new values actually reach freshly traced
+programs. Tests that flip a toggle must wrap the flip in ``refresh()`` calls
+(or use :func:`override`).
+"""
+from __future__ import annotations
+
+import contextlib
+import os
+import sys
+from typing import Iterator
+
+_PREFIX = "HYBRID_CTUNET_"
+
+# name -> (default, parser)
+_DEFAULTS = {
+    # Pallas kernel gates (model code, read per-apply but now process-stable)
+    "PALLAS_FFN": ("1", str),
+    "PALLAS_ATTN": ("1", str),
+    "PALLAS_SCATTER": ("1", str),
+    "PALLAS_NORM": ("0", str),
+    # structural conv/concat rewrites (env-gated experiments, PERF.md
+    # "Hard-won rules" — default-off ones lost end-to-end despite standalone
+    # wins)
+    "VIRTUAL_CONCAT": ("1", str),
+    "SHUFFLE_BD": ("0", str),
+    "CIN1_MUL": ("1", str),
+    "CIN1_S2D": ("0", str),
+    "ZPAIR": ("0", str),
+    "ZPAIR_MAX_COUT": ("64", int),
+    "WINOGRAD": ("0", str),
+    # kernel tile knobs
+    "ATTN_TB": ("4", int),
+    "FFN_TN": ("", str),  # "" = auto-pick per shape
+}
+
+
+def _read(name: str):
+    default, parse = _DEFAULTS[name]
+    raw = os.environ.get(_PREFIX + name, default)
+    return parse(raw) if raw != "" or parse is str else parse(default)
+
+
+def refresh(clear_jit_cache: bool = True) -> None:
+    """Re-snapshot every flag from the environment. With
+    ``clear_jit_cache`` (default), also drop jax's traced/compiled caches so
+    already-jitted callables re-trace with the new values instead of serving
+    stale paths."""
+    mod = sys.modules[__name__]
+    for name in _DEFAULTS:
+        setattr(mod, name, _read(name))
+    if clear_jit_cache:
+        try:
+            import jax
+
+            jax.clear_caches()
+        except Exception:
+            pass
+
+
+@contextlib.contextmanager
+def override(**env: str) -> Iterator[None]:
+    """Temporarily set ``HYBRID_CTUNET_<key>=value`` env vars and refresh;
+    restores the previous environment and flag values on exit."""
+    saved = {}
+    for key, value in env.items():
+        saved[key] = os.environ.get(_PREFIX + key)
+        os.environ[_PREFIX + key] = str(value)
+    refresh()
+    try:
+        yield
+    finally:
+        for key, old in saved.items():
+            if old is None:
+                os.environ.pop(_PREFIX + key, None)
+            else:
+                os.environ[_PREFIX + key] = old
+        refresh()
+
+
+refresh(clear_jit_cache=False)  # initial import-time snapshot

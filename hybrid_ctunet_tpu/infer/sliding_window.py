@@ -22,7 +22,6 @@ erf-gaussian importance map (σ = 0.125·roi), then crop the centred padding.
 from __future__ import annotations
 
 import math
-import os
 from functools import partial
 from typing import Callable, Sequence, Tuple
 
@@ -30,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import flags
 from ..ops.importance import gaussian_importance_map
 from ..ops.scatter_pallas import lane_channels, scatter_add_windows
 
@@ -222,12 +222,15 @@ class SlidingWindowEngine:
             # old per-output + count DUS loops (41 ms -> 5.5 ms per chunk on
             # v5e; see ops/scatter_pallas.py).
             ks = tuple(lane_channels(c, rz) for c in out_channels)
+            # ry % 8: the kernel's aligned y-slice trick needs Y - (ry+8) to
+            # stay 8-aligned for edge-clamped windows (ops/scatter_pallas.py:83)
             use_pallas = (
                 jax.devices()[0].platform == "tpu"
-                and os.environ.get("HYBRID_CTUNET_PALLAS_SCATTER", "1") == "1"
+                and flags.PALLAS_SCATTER == "1"
                 and X % 2 == 0
                 and rx % 2 == 0
                 and Y % 8 == 0
+                and ry % 8 == 0
                 and all((rz * k) % 128 == 0 and (Z * k) % 128 == 0 for k in ks)
             )
 

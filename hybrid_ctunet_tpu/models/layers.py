@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import flags
 from ..ops import attention_pallas, ffn_pallas
 from ..ops.act import gelu_exact, leaky_relu
 from ..ops.conv import conv3d_same, conv_transpose3d_same
@@ -34,10 +35,11 @@ _REMAT_BLOCKS = True
 
 
 def _pallas_enabled(env_suffix: str) -> bool:
-    import os
-
+    # flags are snapshotted at import (see flags.py) — flipping the env var
+    # mid-process requires flags.refresh(), which also clears the jit cache
+    # so stale compiled paths can't survive the flip.
     return (
-        os.environ.get(f"HYBRID_CTUNET_PALLAS_{env_suffix}", "1") == "1"
+        getattr(flags, f"PALLAS_{env_suffix}") == "1"
         and jax.devices()[0].platform == "tpu"
     )
 
@@ -164,25 +166,42 @@ class _DenseBiasParams(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """LN -> Linear(mult*dim) -> GELU -> Linear(dim)
-    (reference hybrid_CTUNet.py:513-526 / vit.py:31-44).
+    """LN -> Linear(mult*dim) -> GELU -> [Dropout] -> Linear(dim) -> [Dropout]
+    (reference hybrid_CTUNet.py:513-526 / vit.py:31-44 — dropout after the
+    GELU and after the second Linear).
 
     On TPU at decoder-pyramid scale the op chain runs as one fused Pallas
     kernel (ops/ffn_pallas.py) that keeps the 4x hidden tile in VMEM — the
     unfused path is HBM-bound on that intermediate. Same param tree, same
-    op-for-op numerics; backward recomputes through the unfused path."""
+    op-for-op numerics; backward recomputes through the unfused path. With
+    dropout active (rate > 0 and not deterministic — training only) the
+    unfused path runs so the masks apply at the reference's exact sites; the
+    inference/benchmark path is untouched (dropout is identity there)."""
 
     mult: float = 4.0
     hidden_dim: int | None = None
+    dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, deterministic: bool = True):
         dim = x.shape[-1]
         inner = self.hidden_dim if self.hidden_dim is not None else int(dim * self.mult)
         ln_w, ln_b = _LNParams(dim, name="norm")()
         w1, b1 = _DenseBiasParams((dim, inner), name="fc1")()
         w2, b2 = _DenseBiasParams((inner, dim), name="fc2")()
+        if self.dropout > 0.0 and not deterministic:
+            y = layer_norm(x, ln_w, ln_b)
+            h = jnp.dot(
+                y.astype(self.dtype), w1.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype) + b1.astype(self.dtype)
+            h = gelu_exact(h)
+            h = nn.Dropout(self.dropout, name="drop_hidden")(h, deterministic=False)
+            o = jnp.dot(
+                h, w2.astype(self.dtype), preferred_element_type=jnp.float32
+            ).astype(self.dtype) + b2.astype(self.dtype)
+            return nn.Dropout(self.dropout, name="drop_out")(o, deterministic=False)
         n_rows = int(np.prod(x.shape[:-1]))
         if (
             _pallas_ffn_enabled()
@@ -218,10 +237,11 @@ class MultiAxisWindowAttention(nn.Module):
     dim_head: int = 32
     window: int = 6
     grid: bool = False
+    dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, deterministic: bool = True):
         B, X, Y, Z, C = x.shape
         w = self.window
         assert X % w == 0 and Y % w == 0 and Z % w == 0, (
@@ -256,7 +276,21 @@ class MultiAxisWindowAttention(nn.Module):
         idx = jnp.asarray(_rel_pos_indices(w))
         bias = bias_table[idx].transpose(2, 0, 1)  # (heads, T, T)
 
-        if _pallas_enabled("ATTN") and attention_pallas.supports(
+        drop = self.dropout > 0.0 and not deterministic
+        if drop:
+            # training-with-dropout path: unfused so the mask applies to the
+            # softmaxed scores (reference hybrid_CTUNet.py:460-461 —
+            # attend = Softmax -> Dropout)
+            nw, T = B * nwin, tokens
+            qh = (q * scale).reshape(nw, T, heads, self.dim_head).transpose(0, 2, 1, 3)
+            kh = k.reshape(nw, T, heads, self.dim_head).transpose(0, 2, 1, 3)
+            vh = v.reshape(nw, T, heads, self.dim_head).transpose(0, 2, 1, 3)
+            sim = jnp.einsum("bhid,bhjd->bhij", qh, kh, preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(sim + bias[None], axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.dropout, name="drop_attn")(attn, deterministic=False)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, vh, preferred_element_type=jnp.float32)
+            out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(nw, T, C)
+        elif _pallas_enabled("ATTN") and attention_pallas.supports(
             B * nwin, tokens, C, heads, self.dtype
         ):
             # fused kernel: the fp32 score tensor never touches HBM
@@ -268,6 +302,9 @@ class MultiAxisWindowAttention(nn.Module):
                 q * scale, k, v, bias, self.dtype
             )
         out = Dense(C, use_bias=False, dtype=self.dtype, name="to_out")(out)
+        if drop:
+            # reference to_out = Linear -> Dropout (hybrid_CTUNet.py:464-466)
+            out = nn.Dropout(self.dropout, name="drop_out")(out, deterministic=False)
 
         out = out.reshape(B, nx, ny, nz, w, w, w, C)
         if not self.grid:
@@ -297,14 +334,12 @@ class PixelShuffleLinear(nn.Module):
         if C % div != 0:
             raise ValueError(f"channels {C} not divisible by prod(factor) {div}")
         cp = C // div
-        import os
-
         # Standalone the K=C' per-voxel Linear is pathological (~1.3 TF/s at
         # stage 3) and the block-diag matmul ~10x faster — but END TO END it
         # regresses 9.71 -> 9.31 vol/min (the fourth standalone-vs-in-model
         # reversal: XLA fuses the small Dense + shuffle permutes into their
         # neighbors). Default off; kept for study with an equivalence test.
-        if os.environ.get("HYBRID_CTUNET_SHUFFLE_BD", "0") == "1" and div > 1:
+        if flags.SHUFFLE_BD == "1" and div > 1:
             w, b = _DenseBiasParams((cp, self.features), name="to_out")()
             F = self.features
             wb = jnp.zeros((C, div * F), w.dtype)
@@ -357,14 +392,19 @@ class PixelweightFusion(nn.Module):
     """
 
     dim_head: int = 32
+    dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_pallas: str | bool = "auto"
 
     @nn.compact
-    def __call__(self, x1, x2):
+    def __call__(self, x1, x2, *, deterministic: bool = True):
         assert x1.shape == x2.shape, (x1.shape, x2.shape)
         C = x1.shape[-1]
-        from ..ops.pixelweight import PixelweightParams, pixelweight_attention
+        from ..ops.pixelweight import (
+            PixelweightParams,
+            pixelweight_attention,
+            pixelweight_reference,
+        )
 
         ln1w, ln1b = _LNParams(C, name="norm1")()
         ln2w, ln2b = _LNParams(C, name="norm2")()
@@ -374,6 +414,19 @@ class PixelweightFusion(nn.Module):
             qkv2_kernel=_DenseParams((C, 3 * C), name="to_qkv2")(),
             out_kernel=_DenseParams((C, C), name="to_out")(),
         )
+        if self.dropout > 0.0 and not deterministic:
+            # reference dropout sites: the 2-way softmax weights and the out
+            # projection (hybrid_CTUNet.py:635-642). NOTE the reference's own
+            # callers construct pixelweight_attention WITHOUT dropout
+            # (hybrid_CTUNet.py:296-297), so CTUNet never wires a nonzero
+            # rate here — this is module-capability parity.
+            attn_drop = nn.Dropout(self.dropout, name="drop_attn")
+            out_drop = nn.Dropout(self.dropout, name="drop_out")
+            return pixelweight_reference(
+                x1, x2, p, dim_head=self.dim_head, dtype=self.dtype,
+                attn_dropout=lambda w: attn_drop(w, deterministic=False),
+                out_dropout=lambda o: out_drop(o, deterministic=False),
+            )
         return pixelweight_attention(
             x1, x2, p, dim_head=self.dim_head, dtype=self.dtype, use_pallas=self.use_pallas
         )
@@ -401,13 +454,11 @@ class _SplitInputConv3d(nn.Module):
             (*k, ca + cb, self.features),
             jnp.float32,
         )
-        import os
-
         # Standalone the materialized wide-Cin conv wins (-9 ms on the 96^3
         # decoder0 block) but END TO END virtual is worth +1.2 vol/min — XLA
         # fuses the two half convs with their producers. Default virtual;
         # toggle kept for study.
-        if os.environ.get("HYBRID_CTUNET_VIRTUAL_CONCAT", "1") == "0":
+        if flags.VIRTUAL_CONCAT == "0":
             # materialized strategy: one wide-Cin conv (wide Cin runs at a
             # higher MXU rate; the concat copy can be cheaper than the rate
             # loss of two half-Cin convs — shape-dependent, hence the toggle)

@@ -69,8 +69,8 @@ def _impl(q, k, v, bias, dtype, interpret):
     n, t, c = q.shape
     heads = bias.shape[0]
     dh = c // heads
-    import os
-    tb = int(os.environ.get("HYBRID_CTUNET_ATTN_TB", "4"))
+    from .. import flags
+    tb = flags.ATTN_TB
     n_pad = -(-n // tb) * tb
     pad = lambda x: jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
     out = pl.pallas_call(

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .. import flags
+
 
 def _triple(v) -> Tuple[int, int, int]:
     if isinstance(v, int):
@@ -90,13 +92,11 @@ def conv3d_same(
     s = _triple(stride)
     k = w.shape[:3]
     p = same_padding(k, s)
-    import os
-
-    cin1_mul = os.environ.get("HYBRID_CTUNET_CIN1_MUL", "1") == "1"
+    cin1_mul = flags.CIN1_MUL == "1"
     # standalone the s2d-z rewrite wins (18.8 -> 15.1 ms) but in-model XLA's
     # fusion of the plain conv with the downstream InstanceNorm is worth more
     # (-0.2 vol/min end to end) — default off, kept for study
-    cin1_s2d = os.environ.get("HYBRID_CTUNET_CIN1_S2D", "0") == "1"
+    cin1_s2d = flags.CIN1_S2D == "1"
     if cin1_mul and w.shape[3] == 1 and k == (1, 1, 1):
         # Cin=1 pointwise conv: a K=1 "matmul" runs at ~0.1 TF/s on the MXU
         # (measured v5e). It is just a broadcast outer product — elementwise.
@@ -115,11 +115,11 @@ def conv3d_same(
         # parities as channel blocks — 1.33x the FLOPs at full MXU lanes.
         return _cin1_s2dz_conv(x, w, preferred_dtype)
     if (
-        os.environ.get("HYBRID_CTUNET_ZPAIR", "0") == "1"
+        flags.ZPAIR == "1"
         and k == (3, 3, 3)
         and s == (1, 1, 1)
         and 32 <= w.shape[3]
-        and w.shape[4] <= int(os.environ.get("HYBRID_CTUNET_ZPAIR_MAX_COUT", "64"))
+        and w.shape[4] <= flags.ZPAIR_MAX_COUT
         and x.shape[3] % 2 == 0
     ):
         # paired-output conv: compute two z-adjacent outputs per position via

@@ -87,10 +87,10 @@ def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
 def _row_tile(c: int, h: int) -> int:
     # hidden is streamed in _H_CHUNK slices, so the row tile is bounded by
     # the x/out blocks and the (tn, _H_CHUNK) fp32 GELU temps
-    import os
+    from .. import flags
 
-    if "HYBRID_CTUNET_FFN_TN" in os.environ:
-        return int(os.environ["HYBRID_CTUNET_FFN_TN"])
+    if flags.FFN_TN:
+        return int(flags.FFN_TN)
     # tn=2048 still crashes the remote compiler at c=128 even with hidden
     # streaming; 1024 measures identical to larger tiles where they compile
     return 1024

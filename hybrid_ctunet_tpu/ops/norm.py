@@ -15,12 +15,12 @@ import jax
 import jax.numpy as jnp
 
 
-import os
-
 # Opt-in fused Pallas instance-norm(+leaky) for the conv paths; flipped on by
 # setting HYBRID_CTUNET_PALLAS_NORM=1 (kept off by default until the fused
 # kernel measures faster than XLA's fusion on the target chip).
-_PALLAS_NORM = os.environ.get("HYBRID_CTUNET_PALLAS_NORM", "0") == "1"
+from .. import flags
+
+_PALLAS_NORM = flags.PALLAS_NORM == "1"
 
 
 def set_pallas_norms(enabled: bool) -> None:

@@ -52,10 +52,20 @@ _INTERPRET = False
 
 def lane_channels(c: int, rz: int = 96) -> int:
     """Smallest padded channel count k >= c+1 with rz*k % 128 == 0 (the +1
-    reserves the count-map lane)."""
+    reserves the count-map lane).
+
+    Capped at 2*(c+1): when rz shares no usable factor with 128 (e.g. any odd
+    roi_z) the search would return k=128 and inflate every accumulator canvas
+    to (X, Y, Z*128) fp32. In that case return the minimal c+1 layout — the
+    128-lane contract then fails in the caller's ``use_pallas`` check and the
+    engine takes the XLA scatter path with a compact canvas instead of OOMing.
+    """
+    cap = 2 * (c + 1)
     k = c + 1
     while (rz * k) % 128 != 0:
         k += 1
+        if k > cap:
+            return c + 1
     return k
 
 
@@ -103,6 +113,10 @@ def _scatter_tpu(acc, contrib, starts):
     sy = min(ry + 8, Y)
     szc = min(rzc + 128, ZC)
     assert Y % 8 == 0 and ZC % 128 == 0, (Y, ZC)
+    # edge-clamped windows make Y - sy an alignment anchor (see ay below):
+    # with sy = ry + 8 it is 8-aligned only when ry is — fail loudly rather
+    # than silently corrupt the blend for an odd --roi_y.
+    assert ry % 8 == 0 or sy == Y, (ry, sy, Y)
     return pl.pallas_call(
         _kernel_factory(sw, _TX, rx, ry, rzc, sy, szc),
         grid_spec=pltpu.PrefetchScalarGridSpec(

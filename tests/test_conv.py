@@ -149,9 +149,8 @@ def test_cin1_fast_paths_match_native_conv(rng):
         np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6, rtol=1e-6)
     # 3x3x3 Cin=1 stride 1 (even z -> s2d path; odd z -> fallback).
     # The s2d-z path is default-off (slower in-model); force it on here.
-    import os
-    os.environ["HYBRID_CTUNET_CIN1_S2D"] = "1"
-    try:
+    from hybrid_ctunet_tpu import flags
+    with flags.override(CIN1_S2D="1"):
         w3 = jnp.asarray(rng.standard_normal((3, 3, 3, 1, 16)) * 0.2, jnp.float32)
         out = conv3d_same(x, w3, 1)
         want = native(x, w3, (1, 1, 1))
@@ -160,8 +159,6 @@ def test_cin1_fast_paths_match_native_conv(rng):
         x_odd = jnp.asarray(rng.standard_normal((1, 8, 8, 7, 1)), jnp.float32)
         np.testing.assert_allclose(np.asarray(conv3d_same(x_odd, w3, 1)),
                                    np.asarray(native(x_odd, w3, (1, 1, 1))), atol=5e-6, rtol=1e-5)
-    finally:
-        os.environ.pop("HYBRID_CTUNET_CIN1_S2D", None)
 
 
 def test_zpair_conv_matches_native(rng):
@@ -178,9 +175,7 @@ def test_zpair_conv_matches_native(rng):
     want = lax.conv_general_dilated(x, w, (1, 1, 1), [(1, 1)] * 3,
                                     dimension_numbers=dn,
                                     preferred_element_type=jnp.float32)
-    os.environ["HYBRID_CTUNET_ZPAIR"] = "1"
-    try:
+    from hybrid_ctunet_tpu import flags
+    with flags.override(ZPAIR="1"):
         out = conv3d_same(x, w, 1)
-    finally:
-        os.environ.pop("HYBRID_CTUNET_ZPAIR", None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=5e-6, rtol=1e-5)

@@ -123,10 +123,8 @@ def test_pixelshuffle_blockdiag_matches_default(rng):
     for factor, feats in [((2, 2, 2), 64), ((2, 2, 1), 32)]:
         mod = PixelShuffleLinear(factor, feats)
         params = mod.init(jax.random.PRNGKey(0), x)
-        os.environ["HYBRID_CTUNET_SHUFFLE_BD"] = "1"
-        try:
+        from hybrid_ctunet_tpu import flags
+        with flags.override(SHUFFLE_BD="1"):
             y1 = mod.apply(params, x)
-        finally:
-            os.environ.pop("HYBRID_CTUNET_SHUFFLE_BD", None)
         y0 = mod.apply(params, x)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=5e-6, rtol=1e-5)
