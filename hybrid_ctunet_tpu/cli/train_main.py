@@ -69,6 +69,7 @@ def main_worker(args):
         logdir=os.path.join("./runs", args.logdir),
         out_channels=args.out_channels,
         save_checkpoint=args.save_checkpoint,
+        dropout_rate=args.dropout_rate,
     )
 
     step_fn = None
@@ -76,7 +77,7 @@ def main_worker(args):
         mesh = make_mesh()
         dp_step = make_dp_train_step(
             args.model_name, mesh, smooth_nr=args.smooth_nr, smooth_dr=args.smooth_dr,
-            grad_accum=args.grad_accum,
+            grad_accum=args.grad_accum, dropout=args.dropout_rate > 0,
         )
         state = replicate_state(state, mesh)
 
@@ -88,7 +89,8 @@ def main_worker(args):
     else:
         step_fn = jax.jit(
             make_train_step(args.model_name, smooth_nr=args.smooth_nr,
-                            smooth_dr=args.smooth_dr, grad_accum=args.grad_accum),
+                            smooth_dr=args.smooth_dr, grad_accum=args.grad_accum,
+                            dropout=args.dropout_rate > 0),
             donate_argnums=(0,),
         )
 

@@ -23,29 +23,41 @@ class UpAttentionBlock(nn.Module):
     dims: Tuple[int, ...] = (128, 256, 512, 1024)  # resnet stage dims; only ordering is used
     ds_stride: Tuple[Tuple[int, int, int], ...] = ((2, 2, 1), (2, 2, 2), (2, 2, 2), (2, 2, 2))
     window: int = 6
+    dropout: float = 0.0  # reaches every attention + FFN (hybrid_CTUNet.py:560-576)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, deterministic: bool = True):
         # Reference dim chain: (in_channels, *dims[::-1][1:], 64) with
         # dims=(128,256,512,1024) -> (768, 512, 256, 128, 64)  (hybrid_CTUNet.py:546)
         chain = (self.in_channels, *[d for d in self.dims[::-1][1:]], 64)
         factors = self.ds_stride[::-1]  # ((2,2,2),(2,2,2),(2,2,2),(2,2,1))
+        dr = self.dropout
 
         features = [x]
         for ind, (dim_in, dim_out) in enumerate(zip(chain[:-1], chain[1:])):
             if ind <= 2:
                 x = x + MultiAxisWindowAttention(
-                    window=self.window, grid=False, dtype=self.dtype, name=f"stage{ind}_block_attn"
-                )(x)
-                x = x + FeedForward(dtype=self.dtype, name=f"stage{ind}_block_ff")(x)
+                    window=self.window, grid=False, dropout=dr, dtype=self.dtype,
+                    name=f"stage{ind}_block_attn",
+                )(x, deterministic=deterministic)
+                x = x + FeedForward(dropout=dr, dtype=self.dtype, name=f"stage{ind}_block_ff")(
+                    x, deterministic=deterministic
+                )
                 x = x + MultiAxisWindowAttention(
-                    window=self.window, grid=True, dtype=self.dtype, name=f"stage{ind}_grid_attn"
-                )(x)
-                x = x + FeedForward(dtype=self.dtype, name=f"stage{ind}_grid_ff")(x)
+                    window=self.window, grid=True, dropout=dr, dtype=self.dtype,
+                    name=f"stage{ind}_grid_attn",
+                )(x, deterministic=deterministic)
+                x = x + FeedForward(dropout=dr, dtype=self.dtype, name=f"stage{ind}_grid_ff")(
+                    x, deterministic=deterministic
+                )
             else:
-                x = x + FeedForward(dtype=self.dtype, name=f"stage{ind}_ff1")(x)
-                x = x + FeedForward(dtype=self.dtype, name=f"stage{ind}_ff2")(x)
+                x = x + FeedForward(dropout=dr, dtype=self.dtype, name=f"stage{ind}_ff1")(
+                    x, deterministic=deterministic
+                )
+                x = x + FeedForward(dropout=dr, dtype=self.dtype, name=f"stage{ind}_ff2")(
+                    x, deterministic=deterministic
+                )
             x = PixelShuffleLinear(
                 tuple(factors[ind]), dim_out, dtype=self.dtype, name=f"stage{ind}_shuffle"
             )(x)

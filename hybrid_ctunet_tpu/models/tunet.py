@@ -64,8 +64,9 @@ class TUNetCore(nn.Module):
 
         pyramid = UpAttentionBlock(
             in_channels=self.hidden_size, dims=DIMS, ds_stride=DS_STRIDE,
-            window=self.window, dtype=self.dtype, name="vit_encoder",
-        )(grid)
+            window=self.window, dropout=self.dropout_rate, dtype=self.dtype,
+            name="vit_encoder",
+        )(grid, deterministic=deterministic)
 
         stem = maybe_remat(ResBlock)(self.dim_conv_stem, 3, 1, dtype=self.dtype, name="vit_encoder0")(x)
         fused = CatConvBlock(self.dim_conv_stem, dtype=self.dtype, name="vit_decoder0")(

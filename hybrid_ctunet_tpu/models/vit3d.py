@@ -26,15 +26,21 @@ from .layers import Dense, FeedForward, LayerNorm, maybe_remat
 
 
 class ViTAttention(nn.Module):
+    """Pre-norm MHSA. Dropout sites match reference vit.py:46-78: on the
+    softmaxed attention weights (:73-74) and on the output projection
+    (:60-63, to_out = Linear -> Dropout) — training only."""
+
     heads: int = 12
     dim_head: int = 64
+    dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, deterministic: bool = True):
         B, N, C = x.shape
         inner = self.heads * self.dim_head
         scale = self.dim_head ** -0.5
+        drop = self.dropout > 0.0 and not deterministic
 
         h = LayerNorm(name="norm")(x)
         qkv = Dense(3 * inner, use_bias=False, dtype=self.dtype, name="to_qkv")(h)
@@ -46,10 +52,14 @@ class ViTAttention(nn.Module):
         q, k, v = split(q), split(k), split(v)
         sim = jnp.einsum("bhid,bhjd->bhij", q * scale, k, preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+        if drop:
+            attn = nn.Dropout(self.dropout, name="drop_attn")(attn, deterministic=False)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32)
         out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, N, inner)
         if not (self.heads == 1 and self.dim_head == C):
             out = Dense(C, dtype=self.dtype, name="to_out")(out)
+            if drop:
+                out = nn.Dropout(self.dropout, name="drop_out")(out, deterministic=False)
         return out
 
 
@@ -57,27 +67,40 @@ class TransformerBlock(nn.Module):
     heads: int
     dim_head: int
     mlp_dim: int
+    dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        x = ViTAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn")(x) + x
-        x = FeedForward(hidden_dim=self.mlp_dim, dtype=self.dtype, name="ff")(x) + x
+    def __call__(self, x, *, deterministic: bool = True):
+        x = ViTAttention(
+            self.heads, self.dim_head, dropout=self.dropout, dtype=self.dtype, name="attn"
+        )(x, deterministic=deterministic) + x
+        x = FeedForward(
+            hidden_dim=self.mlp_dim, dropout=self.dropout, dtype=self.dtype, name="ff"
+        )(x, deterministic=deterministic) + x
         return x
 
 
 class _ScanBlock(nn.Module):
-    """scan-compatible wrapper: (carry, _) -> (carry, None)."""
+    """scan-compatible wrapper: (carry, _) -> (carry, None).
+    ``deterministic`` is a module attribute (not a call arg) to keep the
+    scan body signature (carry, xs)."""
 
     heads: int
     dim_head: int
     mlp_dim: int
+    dropout: float = 0.0
+    deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, _):
-        x = ViTAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn")(x) + x
-        x = FeedForward(hidden_dim=self.mlp_dim, dtype=self.dtype, name="ff")(x) + x
+        x = ViTAttention(
+            self.heads, self.dim_head, dropout=self.dropout, dtype=self.dtype, name="attn"
+        )(x, deterministic=self.deterministic) + x
+        x = FeedForward(
+            hidden_dim=self.mlp_dim, dropout=self.dropout, dtype=self.dtype, name="ff"
+        )(x, deterministic=self.deterministic) + x
         return x, None
 
 
@@ -131,16 +154,19 @@ class ViT3D(nn.Module):
             Blocks = nn.scan(
                 maybe_remat(_ScanBlock),
                 variable_axes={"params": 0},
-                split_rngs={"params": True},
+                split_rngs={"params": True, "dropout": True},
                 length=self.depth,
                 metadata_params={nn.PARTITION_NAME: None},
             )
             t, _ = Blocks(
-                self.heads, self.dim_head, self.mlp_dim, dtype=self.dtype, name="blocks"
+                self.heads, self.dim_head, self.mlp_dim,
+                dropout=self.dropout, deterministic=deterministic,
+                dtype=self.dtype, name="blocks",
             )(t, None)
         else:
             for i in range(self.depth):
                 t = TransformerBlock(
-                    self.heads, self.dim_head, self.mlp_dim, dtype=self.dtype, name=f"block{i}"
-                )(t)
+                    self.heads, self.dim_head, self.mlp_dim,
+                    dropout=self.dropout, dtype=self.dtype, name=f"block{i}"
+                )(t, deterministic=deterministic)
         return t  # (B, N, dim), token order (h w f)

@@ -52,8 +52,14 @@ def _ln(x, w, b, eps=1e-5):
 
 
 def pixelweight_reference(x1, x2, p: PixelweightParams, *, dim_head: int = 32,
-                          dtype=jnp.float32):
-    """Pure-XLA composition (ground truth; also the VJP source)."""
+                          dtype=jnp.float32, attn_dropout=None, out_dropout=None):
+    """Pure-XLA composition (ground truth; also the VJP source).
+
+    ``attn_dropout``/``out_dropout``: optional callables applied at the
+    reference's dropout sites — on the (…, heads, 2) softmaxed cross-weights
+    (hybrid_CTUNet.py:635-638, before the per-head repeat) and on the output
+    projection (:640-642). Training-only; None (the default) is identity.
+    """
     shape = x1.shape
     C = shape[-1]
     heads = C // dim_head
@@ -75,11 +81,17 @@ def pixelweight_reference(x1, x2, p: PixelweightParams, *, dim_head: int = 32,
     m = jnp.maximum(d1, d2)
     e1 = jnp.exp(d1 - m)
     e2 = jnp.exp(d2 - m)
-    w1 = (e1 / (e1 + e2)).astype(dtype)[..., None]
-    w2 = (e2 / (e1 + e2)).astype(dtype)[..., None]
+    w = jnp.stack([e1, e2], axis=-1) / (e1 + e2)[..., None]  # (…, heads, 2)
+    if attn_dropout is not None:
+        w = attn_dropout(w.astype(dtype))
+    w1 = w[..., 0].astype(dtype)[..., None]
+    w2 = w[..., 1].astype(dtype)[..., None]
     out = (w1 * v1 + w2 * v2).reshape(*shape[:-1], C)
-    return jnp.dot(out, p.out_kernel.astype(dtype),
-                   preferred_element_type=jnp.float32).astype(dtype)
+    out = jnp.dot(out, p.out_kernel.astype(dtype),
+                  preferred_element_type=jnp.float32).astype(dtype)
+    if out_dropout is not None:
+        out = out_dropout(out)
+    return out
 
 
 def _kernel(x1_ref, x2_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,

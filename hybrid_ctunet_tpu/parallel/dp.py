@@ -34,6 +34,8 @@ def make_dp_train_step(
     donate: bool = True,
     remat: bool = False,
     grad_accum: int = 1,
+    dropout: bool = False,
+    dropout_seed: int = 0,
 ) -> Callable:
     """Build a jitted data-parallel train step over ``mesh``.
 
@@ -46,9 +48,16 @@ def make_dp_train_step(
     loss_impl = LOSS_FNS[model_name]
 
     def step(state: TrainState, image, label, valid, lr):
+        # per-step, per-shard dropout rng: each data shard draws independent
+        # masks (the torch reference's per-GPU dropout noise is independent)
+        rng = None
+        if dropout:
+            rng = jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state.step)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         loss, aux, grads = compute_grads(
             loss_impl, state, image, label,
             smooth_nr=smooth_nr, smooth_dr=smooth_dr, remat=remat, grad_accum=grad_accum,
+            dropout_rng=rng,
         )
         # DDP semantics: every replica's gradient (including padded dup
         # samples) is averaged.

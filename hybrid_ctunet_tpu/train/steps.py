@@ -64,16 +64,31 @@ LOSS_FNS = {"cunet": cunet_loss_fn, "tunet": tunet_loss_fn, "ctunet": ctunet_los
 
 
 def compute_grads(loss_impl, state, image, label, *, smooth_nr, smooth_dr,
-                  remat=False, grad_accum=1):
+                  remat=False, grad_accum=1, dropout_rng=None):
     """(loss, aux, grads) with optional remat and exact lax.scan gradient
-    accumulation over microbatches (see make_train_step docstring)."""
+    accumulation over microbatches (see make_train_step docstring).
 
-    def loss_fn(params, im, lb):
-        apply = state.apply_fn
-        if remat:
-            apply = jax.checkpoint(apply)
-        outs = apply({"params": params}, im)
-        return loss_impl(outs, lb, smooth_nr=smooth_nr, smooth_dr=smooth_dr)
+    ``dropout_rng``: when given, the forward runs with deterministic=False
+    and this rng feeds the 'dropout' collection (reference trains with
+    --dropout_rate, e.g. the shipped CTUNet_ds8_dr0.2 checkpoints)."""
+
+    def make_loss_fn(rng):
+        def loss_fn(params, im, lb):
+            def apply(variables, x):
+                if rng is not None:
+                    return state.apply_fn(
+                        variables, x, deterministic=False, rngs={"dropout": rng}
+                    )
+                return state.apply_fn(variables, x)
+
+            if remat:
+                apply = jax.checkpoint(apply)
+            outs = apply({"params": params}, im)
+            return loss_impl(outs, lb, smooth_nr=smooth_nr, smooth_dr=smooth_dr)
+
+        return loss_fn
+
+    loss_fn = make_loss_fn(dropout_rng)
 
     if grad_accum <= 1:
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -87,10 +102,19 @@ def compute_grads(loss_impl, state, image, label, *, smooth_nr, smooth_dr,
     im_mb = image.reshape(grad_accum, mb, *image.shape[1:])
     lb_mb = label.reshape(grad_accum, mb, *label.shape[1:])
 
+    # fresh dropout masks per microbatch (a full-batch forward would draw
+    # independent noise for each sample; fold the microbatch index in)
+    mb_rngs = (
+        jax.vmap(lambda i: jax.random.fold_in(dropout_rng, i))(jnp.arange(grad_accum))
+        if dropout_rng is not None
+        else jnp.zeros((grad_accum, 2), jnp.uint32)
+    )
+
     def micro(carry, xs):
         g_acc, l_acc, a_acc = carry
-        im, lb = xs
-        (l, a), g = jax.value_and_grad(loss_fn, has_aux=True)(state.params, im, lb)
+        im, lb, rng = xs
+        fn = make_loss_fn(rng if dropout_rng is not None else None)
+        (l, a), g = jax.value_and_grad(fn, has_aux=True)(state.params, im, lb)
         g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
         a_acc = jax.tree_util.tree_map(jnp.add, a_acc, a)
         return (g_acc, l_acc + l, a_acc), None
@@ -98,7 +122,9 @@ def compute_grads(loss_impl, state, image, label, *, smooth_nr, smooth_dr,
     zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
     _, a0 = jax.eval_shape(lambda p: loss_fn(p, im_mb[0], lb_mb[0]), state.params)
     zeros_a = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), a0)
-    (grads, loss, aux), _ = jax.lax.scan(micro, (zeros_g, 0.0, zeros_a), (im_mb, lb_mb))
+    (grads, loss, aux), _ = jax.lax.scan(
+        micro, (zeros_g, 0.0, zeros_a), (im_mb, lb_mb, mb_rngs)
+    )
     inv = 1.0 / grad_accum
     grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
     aux = jax.tree_util.tree_map(lambda a: a * inv, aux)
@@ -107,7 +133,8 @@ def compute_grads(loss_impl, state, image, label, *, smooth_nr, smooth_dr,
 
 def make_train_step(model_name: str, *, smooth_nr: float = 0.0, smooth_dr: float = 1e-6,
                     pmean_axis: str | None = None, remat: bool = False,
-                    grad_accum: int = 1) -> Callable:
+                    grad_accum: int = 1, dropout: bool = False,
+                    dropout_seed: int = 0) -> Callable:
     """Build a jittable (state, image, label, lr) -> (state, metrics) step.
 
     ``pmean_axis``: when running under shard_map over a data mesh axis, the
@@ -125,9 +152,17 @@ def make_train_step(model_name: str, *, smooth_nr: float = 0.0, smooth_dr: float
     loss_impl = LOSS_FNS[model_name]
 
     def train_step(state: TrainState, image, label, lr):
+        # per-step dropout rng derived from the step counter: deterministic,
+        # resume-stable, and requires no signature change for the trainers
+        rng = (
+            jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state.step)
+            if dropout
+            else None
+        )
         loss, aux, grads = compute_grads(
             loss_impl, state, image, label,
             smooth_nr=smooth_nr, smooth_dr=smooth_dr, remat=remat, grad_accum=grad_accum,
+            dropout_rng=rng,
         )
         if pmean_axis is not None:
             grads = jax.lax.pmean(grads, pmean_axis)

@@ -61,6 +61,11 @@ class TrainConfig:
     save_latest: bool = True  # fault tolerance: periodic latest.pt for
     # restart-from-latest (SURVEY.md §5 — the reference has none)
     print_every: int = 1
+    dropout_rate: float = 0.0  # reference --dropout_rate (e.g. dr0.2 config)
+    # device->host metric fetches are ~26 ms each through the axon tunnel and
+    # serialize dispatch; drain the loss buffer every N steps instead of per
+    # step (the per-step print lines still appear, in batches)
+    fetch_every: int = 8
 
 
 @dataclass
@@ -74,23 +79,38 @@ class ValCase:
     name: str = ""
 
 
-def train_epoch(step_fn, state, loader, lr, *, epoch: int, verbose: bool = True):
-    """One epoch of jitted steps; returns (state, mean loss)."""
+def train_epoch(step_fn, state, loader, lr, *, epoch: int, verbose: bool = True,
+                fetch_every: int = 8):
+    """One epoch of jitted steps; returns (state, mean loss).
+
+    Loss scalars stay on device and are fetched every ``fetch_every`` steps:
+    a per-step ``float(...)`` costs a ~26 ms host round-trip through the
+    remote tunnel AND serializes dispatch (the device idles while the host
+    waits). The reference's per-step print lines are preserved — they appear
+    in drained batches with the true per-step values."""
     meter = AverageMeter()
+    pending = []  # (device loss, batch n, step idx, host dispatch dt)
+    n_batches = len(loader)
     t0 = time.time()
+
+    def drain():
+        for loss_dev, n, idx, dt in pending:
+            loss = float(loss_dev)
+            meter.update(loss, n=n)
+            if verbose and is_main_process():
+                print(f"Epoch {epoch} {idx}/{n_batches} loss: {loss:.4f} time {dt:.2f}s")
+        pending.clear()
+
     for i, (image, label) in enumerate(loader):
         state, metrics = step_fn(
             state, jnp.asarray(image[..., None] if image.ndim == 4 else image),
             jnp.asarray(label[..., None] if label.ndim == 4 else label), lr
         )
-        loss = float(metrics["loss"])
-        meter.update(loss, n=image.shape[0])
-        if verbose and is_main_process():
-            print(
-                f"Epoch {epoch} {i}/{len(loader)} loss: {loss:.4f} "
-                f"time {time.time() - t0:.2f}s"
-            )
+        pending.append((metrics["loss"], image.shape[0], i, time.time() - t0))
         t0 = time.time()
+        if len(pending) >= max(fetch_every, 1):
+            drain()
+    drain()
     return state, float(meter.avg)
 
 
@@ -183,7 +203,10 @@ def run_training(
     dual = model_name == "ctunet"
     if step_fn is None:
         step_fn = jax.jit(
-            make_train_step(model_name, grad_accum=cfg.grad_accum), donate_argnums=(0,)
+            make_train_step(
+                model_name, grad_accum=cfg.grad_accum, dropout=cfg.dropout_rate > 0
+            ),
+            donate_argnums=(0,),
         )
 
     writer = ScalarWriter(logdir or cfg.logdir, enabled=is_main_process())
@@ -203,7 +226,8 @@ def run_training(
         lr = schedule(epoch)
         t0 = time.time()
         state, train_loss = train_epoch(
-            step_fn, state, train_loader, lr, epoch=epoch, verbose=cfg.print_every > 0
+            step_fn, state, train_loader, lr, epoch=epoch,
+            verbose=cfg.print_every > 0, fetch_every=cfg.fetch_every,
         )
         if is_main_process():
             print(
