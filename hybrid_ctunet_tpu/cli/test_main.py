@@ -194,13 +194,29 @@ def test_final(argv=None):
         save_nifti(os.path.join(out_dir, case.name or "pred.nii.gz"), pred, case.meta.affine)
 
     rows = [per_organ_dice(p, l, n_classes=args.out_channels) for p, l in zip(infers, labels)]
-    write_dice_report(out_dir, names, rows)
+    report_path = write_dice_report(out_dir, names, rows)
     dice_raw = com_dice(infers, labels)
-    if args.postprocess:
+    postprocessed = bool(args.postprocess)
+    if postprocessed:
+        # the reference reports the POST-postprocessing metrics
+        # (test_CTUNet_final.py:654-656: determine_postprocessing -> com_dice
+        # -> com_hd on infers_final)
         infers = determine_postprocessing(
             infers, labels, vpv, processes=min(8, os.cpu_count() or 1),
             advanced_postprocessing=True,
         )
-        dice_pp = com_dice(infers, labels)
+    dice = com_dice(infers, labels)
     hd = com_hd(infers, labels)
-    return {"dice": dice_raw, "hd95": hd}
+    # append the HD95 block so the metrics the function returns are also on
+    # disk next to the dice report
+    with open(report_path, "a") as fw:
+        fw.write("*" * 20 + "\n")
+        fw.write("HD95 (mean per organ{}):\n".format(
+            ", after postprocessing" if postprocessed else ""))
+        for i, v in enumerate(np.asarray(hd).ravel()):
+            fw.write(f"HD95_class_{i + 1}: {v:.4f}\n")
+        fw.write(f"mean_hd95: {float(np.mean(hd)):.4f}\n")
+        if postprocessed:
+            fw.write(f"dsc_postprocessed: {float(np.mean(dice)):.4f}\n")
+    return {"dice": dice, "dice_raw": dice_raw, "hd95": hd,
+            "postprocessed": postprocessed}

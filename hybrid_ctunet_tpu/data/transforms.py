@@ -28,24 +28,35 @@ import scipy.ndimage as ndimage
 # ---------------------------------------------------------------- orientation
 
 def _io_orientation(affine: np.ndarray) -> np.ndarray:
-    """(axis, flip) pairs mapping array axes to nearest RAS axes (the
-    nib.io_orientation algorithm: argmax of the normalized affine columns)."""
-    rzs = affine[:3, :3]
-    zooms = np.sqrt((rzs**2).sum(axis=0))
+    """(axis, flip) pairs mapping array axes to nearest RAS axes.
+
+    Transcribes nibabel's ``io_orientation`` algorithm (the oracle behind
+    MONAI 0.7 Orientationd, which the reference uses at
+    utils/data_utils.py:75): normalize the affine's rotation/zoom block by
+    column norms, take the *polar decomposition* via SVD to get the closest
+    orthogonal matrix (this is what makes oblique/shear affines tie-break the
+    same way nibabel does — a plain column argmax does not), then assign each
+    input axis in order to the strongest remaining output axis, zeroing the
+    claimed row."""
+    rzs = affine[:3, :3].astype(np.float64)
+    zooms = np.sqrt((rzs ** 2).sum(axis=0))
     zooms[zooms == 0] = 1.0
-    normed = rzs / zooms
-    out = np.zeros((3, 2))
-    taken = set()
-    # greedy assignment by absolute cosine, largest first
-    order = np.argsort(-np.abs(normed).max(axis=0))
-    for col in order:
-        scores = np.abs(normed[:, col])
-        for row in np.argsort(-scores):
-            if row not in taken:
-                taken.add(row)
-                out[col] = (row, 1.0 if normed[row, col] >= 0 else -1.0)
-                break
-    return out
+    rs = rzs / zooms
+    P, S, Qs = np.linalg.svd(rs, full_matrices=False)
+    tol = S.max() * max(rs.shape) * np.finfo(S.dtype).eps
+    keep = S > tol
+    R = P[:, keep] @ Qs[keep]
+    ornt = np.full((3, 2), np.nan)
+    for in_ax in range(3):
+        col = R[:, in_ax]
+        if not np.allclose(col, 0):
+            out_ax = int(np.argmax(np.abs(col)))
+            ornt[in_ax, 0] = out_ax
+            ornt[in_ax, 1] = -1.0 if col[out_ax] < 0 else 1.0
+            R[out_ax, :] = 0  # claimed: drop from consideration
+    if np.isnan(ornt).any():
+        raise ValueError(f"degenerate affine, cannot orient: {affine}")
+    return ornt
 
 
 def orientation_ras(

@@ -313,5 +313,31 @@ def test_eval_cli_ctunet_and_final(tmp_path):
         ])
         assert np.isfinite(final["dice"]).all()
         assert final["hd95"] is not None
+        assert final["postprocessed"] is False
+        # HD95 block lands in the report file next to the dice rows
+        report = (tmp_path / "outputs" / "fin" / "dice.txt").read_text()
+        assert "mean_hd95:" in report
+
+        # --postprocess: the RETURNED dice must reflect the postprocessed
+        # masks (reference test_CTUNet_final.py:654-656), not the raw ones.
+        # Pin it by stubbing the postprocessor to zero every prediction.
+        # Pin it by stubbing the postprocessor to return the labels: the
+        # returned dice must then be exactly 0/1 per organ (1 where the organ
+        # exists in the label).
+        import hybrid_ctunet_tpu.cli.test_main as tm
+        orig = tm.determine_postprocessing
+        tm.determine_postprocessing = lambda infers, labels, *a, **k: [
+            l.copy() for l in labels
+        ]
+        try:
+            final_pp = test_final(tiny + [
+                f"--ctunet_dir={pre}", f"--tunet_dir={tu_dir}", "--exp_name=finpp",
+                "--postprocess",
+            ])
+        finally:
+            tm.determine_postprocessing = orig
+        assert final_pp["postprocessed"] is True
+        d = np.asarray(final_pp["dice"])
+        assert np.all((d == 0.0) | (d == 1.0)) and d.mean() > 0.0
     finally:
         os.chdir(cwd)
