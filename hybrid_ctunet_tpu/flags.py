@@ -39,6 +39,7 @@ _DEFAULTS = {
     "ZPAIR": ("0", str),
     "ZPAIR_MAX_COUT": ("64", int),
     "WINOGRAD": ("0", str),
+    "WINOGRAD_TY": ("0", int),
     # kernel tile knobs
     "ATTN_TB": ("4", int),
     "FFN_TN": ("", str),  # "" = auto-pick per shape

@@ -140,6 +140,14 @@ def conv3d_same(
         # whose taps are the parity classes of the original 7-tap kernel.
         # Identical numerics (taps are rearranged, never approximated).
         return _stem_s2d_conv(x, w, p, preferred_dtype)
+    if flags.WINOGRAD == "1" and w.shape[3] >= 2:
+        from . import winograd_pallas
+
+        if winograd_pallas.supports(x.shape, w.shape, s):
+            return winograd_pallas.conv3x3_winograd(
+                x, w, out_dtype=preferred_dtype,
+                interpret=jax.default_backend() != "tpu",
+            )
     dn = _DN(x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
     return lax.conv_general_dilated(
         x,

@@ -168,3 +168,61 @@ def test_fused_window_attention_interpret_matches_reference(rng):
     gr = jax.grad(lambda qq: jnp.sum(
         ap.reference_window_attention(qq, k, v, bias, jnp.bfloat16).astype(jnp.float32) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g, np.float32), np.asarray(gr, np.float32), atol=3e-2, rtol=3e-2)
+
+
+def test_winograd_pallas_interpret_matches_direct_conv(rng):
+    """ops/winograd_pallas.py F(2,3)^3 kernel vs lax direct conv, interpret
+    mode, fp32 (transform entries are exact binary fractions). Smallest
+    supported block: (1, 2, 32, 96, 32) -> ty=16, tz=48, M=768."""
+    import jax
+    from jax import lax
+    from hybrid_ctunet_tpu.ops import winograd_pallas as wp
+
+    x = jnp.asarray(rng.standard_normal((1, 2, 32, 96, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 32, 32)) * 0.1, jnp.float32)
+    assert wp.supports(x.shape, w.shape, (1, 1, 1))
+
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    ref = lax.conv_general_dilated(
+        x, w, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+    got = wp.conv3x3_winograd(x, w, out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+    # grad: custom VJP recomputes through the direct conv -> near-exact match
+    g = jax.grad(lambda ww: jnp.sum(
+        wp.conv3x3_winograd(x, ww, out_dtype=jnp.float32, interpret=True) ** 2))(w)
+    gr = jax.grad(lambda ww: jnp.sum(
+        lax.conv_general_dilated(x, ww, (1, 1, 1), [(1, 1)] * 3,
+                                 dimension_numbers=dn,
+                                 preferred_element_type=jnp.float32) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-3, rtol=1e-3)
+
+
+def test_winograd_supports_gating():
+    """supports() rejects stride-2, non-3^3, odd dims, and blocks too small
+    for the MXU M>=768 constraint (PERF.md round-1 probe)."""
+    from hybrid_ctunet_tpu.ops import winograd_pallas as wp
+
+    ok = ((1, 2, 32, 96, 32), (3, 3, 3, 32, 32))
+    assert wp.supports(*ok, (1, 1, 1))
+    assert not wp.supports(*ok, (2, 2, 2))
+    assert not wp.supports((1, 2, 32, 96, 32), (1, 1, 1, 32, 32), (1, 1, 1))
+    assert not wp.supports((1, 2, 32, 95, 32), (3, 3, 3, 32, 32), (1, 1, 1))
+    assert not wp.supports((1, 2, 32, 96, 48), (3, 3, 3, 48, 48), (1, 1, 1))
+    # 48^3 @ 128ch: M = 288 < 768 -> XLA already saturates full 128 lanes
+    assert not wp.supports((1, 48, 48, 48, 128), (3, 3, 3, 128, 128), (1, 1, 1))
+
+
+def test_conv3d_same_winograd_gate(rng):
+    """conv3d_same routes through the Winograd kernel under the flag and
+    matches the default XLA path."""
+    from hybrid_ctunet_tpu import flags
+    from hybrid_ctunet_tpu.ops.conv import conv3d_same
+
+    x = jnp.asarray(rng.standard_normal((1, 2, 32, 96, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 32, 32)) * 0.1, jnp.float32)
+    base = conv3d_same(x, w, stride=(1, 1, 1), preferred_dtype=jnp.float32)
+    with flags.override(WINOGRAD="1"):
+        got = conv3d_same(x, w, stride=(1, 1, 1), preferred_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=2e-4, rtol=2e-4)
