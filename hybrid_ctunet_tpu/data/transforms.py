@@ -102,6 +102,112 @@ def invert_orientation(data: np.ndarray, meta: Dict) -> np.ndarray:
 
 
 # ------------------------------------------------------------------- spacing
+#
+# Transcription of MONAI 0.7's Spacing transform (the one the reference's
+# Spacingd/Invertd chain runs: utils/data_utils.py:72-143 with the defaults
+# padding_mode="border", align_corners=False, diagonal=False, dtype=float64):
+#
+#   new_affine     = zoom_affine(affine, pixdim, diagonal=False)
+#   shape, offset  = compute_shape_offset(spatial_shape, affine, new_affine)
+#   new_affine[:3,3] = offset
+#   index map      = inv(affine) @ new_affine     (output index -> input index)
+#   resample       = grid_sample(..., padding_mode="border")
+#
+# MONAI's AffineTransform(normalized=False) composes to_norm_affine with
+# grid_sample such that the net sampling position for output voxel j is
+# exactly (index map) @ j in plain index space; scipy's affine_transform with
+# matrix/offset from that map and mode="nearest" (= border clamp for linear
+# interpolation) reproduces it without torch.
+
+
+def zoom_affine(affine: np.ndarray, pixdim: Sequence[float]) -> np.ndarray:
+    """MONAI zoom_affine(diagonal=False): keep direction cosines (and axis
+    sign), replace the per-axis zooms with ``pixdim``, drop translation and
+    shear. R = rzs @ inv(chol(rzs^T rzs)^T) is the rotation factor of the
+    RZS polar-like decomposition MONAI uses."""
+    scale = np.asarray(pixdim, np.float64).copy()
+    scale[scale == 0] = 1.0
+    rzs = affine[:3, :3].astype(np.float64)
+    zs = np.linalg.cholesky(rzs.T @ rzs).T
+    rotation = rzs @ np.linalg.inv(zs)
+    s = np.sign(np.diag(zs)) * np.abs(scale)
+    new_affine = np.eye(4)
+    new_affine[:3, :3] = rotation @ np.diag(s)
+    return new_affine
+
+
+def compute_shape_offset(
+    spatial_shape: Sequence[int], in_affine: np.ndarray, out_affine: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """MONAI compute_shape_offset: map the 8 input-corner voxel centres to
+    world, then into the output grid; shape = round(ptp + 1) per axis, offset
+    = world position of the corner that lands at the minimal output coords
+    (corner 0 if none is minimal in every axis simultaneously)."""
+    shape = np.asarray(spatial_shape, np.float64)
+    in_coords = [(0.0, dim - 1.0) for dim in shape]
+    corners = np.asarray(np.meshgrid(*in_coords, indexing="ij")).reshape((3, -1))
+    corners = np.concatenate((corners, np.ones_like(corners[:1])))
+    corners = in_affine @ corners
+    inv_out = np.linalg.inv(out_affine)
+    corners_out = inv_out @ corners
+    corners_out = corners_out[:-1] / corners_out[-1]
+    out_shape = np.round(np.ptp(corners_out, axis=1) + 1.0)
+    k = 0
+    for i in range(corners.shape[1]):
+        min_corner = np.min(inv_out @ corners - (inv_out @ corners)[:, i : i + 1], 1)
+        if np.allclose(min_corner, 0.0, atol=1.0e-7):
+            k = i
+            break
+    offset = corners[:3, k]
+    return out_shape.astype(int), offset
+
+
+def _affine_resample(
+    data: np.ndarray,
+    index_map: np.ndarray,
+    out_shape: Tuple[int, ...],
+    mode: str,
+) -> np.ndarray:
+    """Per-channel scipy resample with the homogeneous output->input index
+    map. order=1 + mode="nearest" == grid_sample bilinear + border padding;
+    compute in float64 like MONAI's dtype=np.float64 default, return float32
+    (images) / input dtype (nearest labels, values are exact)."""
+    matrix, offset = index_map[:3, :3], index_map[:3, 3]
+
+    if mode != "bilinear":
+        # torch grid_sample "nearest" rounds with nearbyint (half-to-even);
+        # scipy's order-0 spline rounds half-up, which breaks ties the wrong
+        # way on exact .5 coordinates (common for rational spacing ratios
+        # like 1.0 -> 1.5). Gather with np.rint + border clip instead.
+        xs = [np.arange(n, dtype=np.float64) for n in out_shape]
+        jj = np.stack(np.meshgrid(*xs, indexing="ij"), axis=0).reshape(3, -1)
+        pp = matrix @ jj + offset[:, None]
+        idx = [
+            np.clip(np.rint(pp[a]).astype(np.int64), 0, data.shape[a] - 1)
+            for a in range(3)
+        ]
+        out = data[idx[0], idx[1], idx[2]].reshape(
+            tuple(out_shape) + data.shape[3:]
+        )
+        return out.astype(data.dtype)
+
+    def _one(ch):
+        return ndimage.affine_transform(
+            ch.astype(np.float64),
+            matrix,
+            offset=offset,
+            output_shape=tuple(out_shape),
+            order=1,
+            mode="nearest",
+            prefilter=False,
+        )
+
+    if data.ndim == 3:
+        out = _one(data)
+    else:
+        out = np.stack([_one(data[..., c]) for c in range(data.shape[-1])], axis=-1)
+    return out.astype(np.float32)
+
 
 def spacing_resample(
     data: np.ndarray,
@@ -110,70 +216,50 @@ def spacing_resample(
     *,
     mode: str = "bilinear",
 ) -> Tuple[np.ndarray, np.ndarray, Dict]:
-    """Resample to target spacing (MONAI Spacingd semantics: new shape =
-    ceil(old_shape * old_spacing / new_spacing), linear for images, nearest
-    for labels). Channels-last (X,Y,Z[,C])."""
-    old_spacing = np.sqrt((affine[:3, :3] ** 2).sum(axis=0))
-    new_spacing = np.asarray(pixdim, np.float64)
-    shape = np.asarray(data.shape[:3], np.float64)
-    new_shape = np.maximum(np.ceil(shape * old_spacing / new_spacing), 1).astype(int)
+    """Resample (X,Y,Z[,C]) to target spacing with MONAI-0.7 Spacing
+    semantics (shape = round((n-1)*old/new + 1) from corner mapping, border
+    padding, oblique direction cosines preserved)."""
+    affine = np.asarray(affine, np.float64)
+    new_affine = zoom_affine(affine, pixdim)
+    out_shape, offset = compute_shape_offset(data.shape[:3], affine, new_affine)
+    new_affine[:3, 3] = offset
+    index_map = np.linalg.inv(affine) @ new_affine
 
-    scale = new_spacing / old_spacing  # input voxels per output voxel
-    order = 1 if mode == "bilinear" else 0
-    matrix = np.diag(scale)
-    # nearest mode keeps the input dtype (labels stay integer)
-    work_dtype = data.dtype if order == 0 else np.float32
-
-    def _resample_channel(ch):
-        return ndimage.affine_transform(
-            ch,
-            matrix,
-            offset=0.0,
-            output_shape=tuple(new_shape),
-            order=order,
-            mode="constant",
-            cval=0.0,
-            prefilter=False,
-        )
-
-    if data.ndim == 3:
-        out = _resample_channel(data.astype(work_dtype))
-    else:
-        out = np.stack(
-            [_resample_channel(data[..., c].astype(work_dtype)) for c in range(data.shape[-1])],
-            axis=-1,
-        )
-    new_affine = affine.copy()
-    new_affine[:3, :3] = affine[:3, :3] @ np.diag(scale)
     meta = {
         "orig_shape": tuple(int(s) for s in data.shape[:3]),
-        "scale": scale.tolist(),
-        "new_shape": tuple(int(s) for s in new_shape),
+        "orig_affine": affine.tolist(),
+        "new_affine": new_affine.tolist(),
+        "new_shape": tuple(int(s) for s in out_shape),
     }
+    # MONAI's near-identity short-circuit: no resampling at all
+    if tuple(out_shape) == data.shape[:3] and np.allclose(
+        index_map, np.eye(4), atol=1e-3
+    ):
+        out = data.astype(data.dtype if mode != "bilinear" else np.float32)
+        return out, new_affine, meta
+    out = _affine_resample(data, index_map, tuple(out_shape), mode)
     return out, new_affine, meta
 
 
 def invert_spacing(data: np.ndarray, meta: Dict, *, mode: str = "bilinear") -> np.ndarray:
     """Map a (X,Y,Z[,C]) volume on the resampled grid back to the native grid
-    (the Invertd path; nearest_interp=False -> linear for logits)."""
-    inv_scale = 1.0 / np.asarray(meta["scale"])
-    order = 1 if mode == "bilinear" else 0
-    matrix = np.diag(inv_scale)
+    the way MONAI Invertd does (trainer_CTUNet.py:141-178, nearest_interp=
+    False -> linear for logits): run Spacing AGAIN targeting the original
+    pixdim (column norms of the pre-spacing affine) with the output shape
+    forced to the original, not the literal matrix inverse."""
+    cur_affine = np.asarray(meta["new_affine"], np.float64)
+    orig_affine = np.asarray(meta["orig_affine"], np.float64)
+    orig_pixdim = np.sqrt((orig_affine[:3, :3] ** 2).sum(axis=0))
 
-    def _one(ch):
-        return ndimage.affine_transform(
-            ch,
-            matrix,
-            output_shape=meta["orig_shape"],
-            order=order,
-            mode="constant",
-            cval=0.0,
-            prefilter=False,
-        )
-
-    if data.ndim == 3:
-        return _one(data.astype(np.float32))
-    return np.stack([_one(data[..., c].astype(np.float32)) for c in range(data.shape[-1])], axis=-1)
+    new_affine = zoom_affine(cur_affine, orig_pixdim)
+    _, offset = compute_shape_offset(data.shape[:3], cur_affine, new_affine)
+    new_affine[:3, 3] = offset
+    index_map = np.linalg.inv(cur_affine) @ new_affine
+    if tuple(meta["orig_shape"]) == data.shape[:3] and np.allclose(
+        index_map, np.eye(4), atol=1e-3
+    ):
+        return data.astype(data.dtype if mode != "bilinear" else np.float32)
+    return _affine_resample(data, index_map, tuple(meta["orig_shape"]), mode)
 
 
 # ----------------------------------------------------------------- intensity

@@ -175,6 +175,116 @@ def test_spacing_resample_shapes_and_inverse(rng):
     np.testing.assert_allclose(b2[2:-2, 2:-2, 2:-2], smooth[2:-2, 2:-2, 2:-2], atol=0.05)
 
 
+def _monai_affine_oracle(data, index_map, out_shape, mode):
+    """Independent oracle for MONAI-0.7 Spacing's resampler: the documented
+    sampling rule is 'output voxel j samples the input at (index_map @ j)
+    with grid_sample(mode, padding_mode="border", align_corners=False)'.
+    Implemented here directly on torch.grid_sample (a different interpolator
+    than the scipy path under test)."""
+    import torch
+    import torch.nn.functional as F
+
+    xs = [np.arange(n, dtype=np.float64) for n in out_shape]
+    jj = np.stack(np.meshgrid(*xs, indexing="ij"), axis=0).reshape(3, -1)
+    pp = index_map[:3, :3] @ jj + index_map[:3, 3:4]  # input indices (3, M)
+    in_shape = np.asarray(data.shape[:3], np.float64)
+    # align_corners=False: index i <-> normalized (2i+1)/n - 1
+    norm = (2.0 * pp + 1.0) / in_shape[:, None] - 1.0
+    grid = np.stack([norm[2], norm[1], norm[0]], axis=-1)  # (M, 3) as (W,H,D)
+    grid = torch.from_numpy(grid.reshape(1, *out_shape, 3))
+    inp = torch.from_numpy(np.ascontiguousarray(data, np.float64))[None, None]
+    out = F.grid_sample(
+        inp, grid, mode=mode, padding_mode="border", align_corners=False
+    )
+    return out[0, 0].numpy()
+
+
+def test_spacing_monai_shape_formula():
+    """MONAI computes shape from voxel-centre corners: round((n-1)*old/new+1),
+    NOT ceil(n*old/new) — n=10 @ 2.0mm -> 1.5mm must give 13, not 14."""
+    data = np.zeros((10, 10, 10), np.float32)
+    out, _, _ = spacing_resample(data, np.diag([2.0, 2.0, 2.0, 1.0]), (1.5, 1.5, 1.5))
+    assert out.shape == (13, 13, 13)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+def test_spacing_matches_grid_sample_oracle_axis_aligned(rng, mode):
+    data = rng.normal(0, 1, (14, 11, 9)).astype(np.float32)
+    if mode == "nearest":
+        data = (data * 3).round()
+    affine = np.diag([1.0, 1.25, 2.5, 1.0])
+    affine[:3, 3] = (3.0, -7.0, 2.0)
+    out, new_aff, meta = spacing_resample(data, affine, (1.5, 1.5, 2.0), mode=mode)
+    index_map = np.linalg.inv(affine) @ np.asarray(meta["new_affine"])
+    ref = _monai_affine_oracle(data, index_map, out.shape[:3], mode)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+def test_spacing_matches_grid_sample_oracle_oblique(rng, mode):
+    """Oblique direction cosines: the index map is a full 3x3 (rotation
+    changes), border padding clamps, and the scipy path must still agree with
+    torch.grid_sample to interpolation precision."""
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        data = r.normal(0, 1, (12, 10, 8)).astype(np.float32)
+        if mode == "nearest":
+            data = (data * 3).round()
+        affine = np.eye(4)
+        affine[:3, :3] = _random_rotation(r) @ np.diag(r.uniform(0.8, 2.6, 3))
+        affine[:3, 3] = r.normal(0, 5, 3)
+        out, new_aff, meta = spacing_resample(data, affine, (1.5, 1.5, 2.0), mode=mode)
+        # direction cosines preserved, zooms replaced
+        na = np.asarray(new_aff)
+        np.testing.assert_allclose(
+            np.sqrt((na[:3, :3] ** 2).sum(axis=0)), (1.5, 1.5, 2.0), atol=1e-9
+        )
+        index_map = np.linalg.inv(affine) @ np.asarray(meta["new_affine"])
+        ref = _monai_affine_oracle(data, index_map, out.shape[:3], mode)
+        if mode == "nearest":
+            np.testing.assert_array_equal(out, ref)
+        else:
+            np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_spacing_invert_runs_spacing_again_not_matrix_inverse(rng):
+    """Invertd re-runs Spacing targeting the original pixdim with the output
+    shape forced (trainer_CTUNet.py:141-178); on smooth data the round trip
+    is tight in the interior, and the output grid is exactly orig_shape."""
+    smooth = np.fromfunction(
+        lambda x, y, z: np.sin(x / 5.0) + np.cos(y / 4.0) + z / 9.0, (24, 20, 18)
+    ).astype(np.float32)[..., None]
+    affine = np.eye(4)
+    affine[:3, :3] = np.diag([0.9, 1.1, 2.2])
+    out, _, meta = spacing_resample(smooth, affine, (1.5, 1.5, 2.0))
+    back = invert_spacing(out, meta)
+    assert back.shape[:3] == (24, 20, 18)
+    # two linear-interp passes of curvature ~1/25 at ~1.7-voxel steps: the
+    # round trip is smooth-limited, not offset-limited (an off-by-half-voxel
+    # bug would show up as ~0.1 here)
+    np.testing.assert_allclose(
+        back[3:-3, 3:-3, 3:-3], smooth[3:-3, 3:-3, 3:-3], atol=0.05
+    )
+
+
+def test_spacing_border_padding_not_constant():
+    """MONAI pads with border clamp: an all-ones volume upsampled must stay
+    ones at every output voxel (constant-0 padding would dim the edges)."""
+    ones = np.ones((8, 8, 8), np.float32)
+    out, _, _ = spacing_resample(ones, np.diag([2.0, 2.0, 2.0, 1.0]), (1.5, 1.5, 1.5))
+    np.testing.assert_array_equal(out, np.ones_like(out))
+
+
+def test_spacing_identity_short_circuit(rng):
+    """Same pixdim as the affine -> MONAI skips resampling entirely; data
+    must come back bit-identical (no interpolation smear)."""
+    data = rng.normal(0, 1, (9, 9, 9)).astype(np.float32)
+    affine = np.diag([1.5, 1.5, 2.0, 1.0])
+    out, _, meta = spacing_resample(data, affine, (1.5, 1.5, 2.0))
+    np.testing.assert_array_equal(out, data)
+    np.testing.assert_array_equal(invert_spacing(out, meta), data)
+
+
 def test_scale_intensity_matches_reference_params(rng):
     img = rng.uniform(-1000, 1000, (10, 10, 10)).astype(np.float32)
     out = scale_intensity_range(img, -175.0, 250.0, 0.0, 1.0, clip=True)
