@@ -142,7 +142,12 @@ class SlidingWindowEngine:
         self.num_outputs = int(num_outputs)
         self.mesh = mesh
         self.axis = axis
-        self.strategy = "scan" if mesh is not None else strategy
+        # mesh + "loop" is the production multi-chip path: the per-dispatch
+        # program stays model-sized (the remote compile service rejects
+        # whole-volume scan programs at full model scale — PERF.md), each
+        # device owns a chunk subset + a LOCAL merged-lane canvas, and the
+        # devices only talk once, in ``finalize`` (a single cross-device sum).
+        self.strategy = strategy
         self.canvas_bucket = int(canvas_bucket)
         self._jitted = {}
 
@@ -239,12 +244,8 @@ class SlidingWindowEngine:
                     padded, (0, s[0], s[1], s[2], 0), (1, *roi, padded.shape[-1])
                 )[0]
 
-            # ONE fused program per chunk: gather + model forward + weighted
-            # scatter-add with donated accumulators. Model params must arrive
-            # via pred_args (NOT closure) — constant-folded params blow the
-            # remote compiler's request-size limit.
-            @partial(jax.jit, donate_argnums=(0,))
-            def chunk_step(accs, padded, s, v, importance, *pred_args):
+            def _chunk_body(accs, padded, s, v, importance, *pred_args):
+                # accs: tuple (X, Y, Z*k); s: (sw, 3); v: (sw,)
                 wins = jax.vmap(gather_one, in_axes=(None, 0))(padded, s)
                 preds = self.predictor(wins, *pred_args)
                 preds = preds if isinstance(preds, (tuple, list)) else (preds,)
@@ -266,25 +267,101 @@ class SlidingWindowEngine:
                     )
                 return tuple(new_accs)
 
-            @jax.jit
-            def finalize(accs):
-                outs = []
-                for acc, c, k in zip(accs, out_channels, ks):
-                    a = acc.reshape(X, Y, Z, k)
-                    outs.append(a[..., :c] / a[..., c : c + 1])
-                return tuple(outs)
+            if self.mesh is None:
+                # ONE fused program per chunk: gather + model forward +
+                # weighted scatter-add with donated accumulators. Model params
+                # must arrive via pred_args (NOT closure) — constant-folded
+                # params blow the remote compiler's request-size limit.
+                @partial(jax.jit, donate_argnums=(0,))
+                def chunk_step(accs, padded, s, v, importance, *pred_args):
+                    return _chunk_body(accs, padded, s, v, importance, *pred_args)
+
+                @jax.jit
+                def finalize(accs):
+                    outs = []
+                    for acc, c, k in zip(accs, out_channels, ks):
+                        a = acc.reshape(X, Y, Z, k)
+                        outs.append(a[..., :c] / a[..., c : c + 1])
+                    return tuple(outs)
+
+                def init_accs():
+                    return tuple(jnp.zeros((X, Y, Z * k), jnp.float32) for k in ks)
+
+                def regroup(arr):  # (n_padded, ...) -> (n_groups, sw, ...)
+                    return np.asarray(arr).reshape(-1, sw, *np.asarray(arr).shape[1:])
+
+                def put(x):
+                    return jnp.asarray(x)
+
+            else:
+                from jax import shard_map
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                axis = self.axis
+                n_dev = self.mesh.shape[axis]
+                shard = NamedSharding(self.mesh, P(axis))
+
+                def local(accs, padded, s, v, importance, *pred_args):
+                    # per-device view: leading device dim of extent 1
+                    out = _chunk_body(
+                        tuple(a[0] for a in accs), padded, s[0], v[0],
+                        importance, *pred_args,
+                    )
+                    return tuple(a[None] for a in out)
+
+                mapped = shard_map(
+                    local,
+                    mesh=self.mesh,
+                    in_specs=(P(axis), P(), P(axis), P(axis), P())
+                    + tuple(P() for _ in pred_args),
+                    out_specs=P(axis),
+                    check_vma=False,
+                )
+
+                # Per-dispatch program is the SAME model-sized chunk program,
+                # replicated over the mesh with device-local canvases — no
+                # collectives until finalize.
+                @partial(jax.jit, donate_argnums=(0,))
+                def chunk_step(accs, padded, s, v, importance, *pred_args):
+                    return mapped(accs, padded, s, v, importance, *pred_args)
+
+                @jax.jit
+                def finalize(accs):
+                    outs = []
+                    for acc, c, k in zip(accs, out_channels, ks):
+                        # the ONE cross-device reduction (rides ICI): sum the
+                        # device-sharded canvas stack
+                        a = acc.sum(0).reshape(X, Y, Z, k)
+                        outs.append(a[..., :c] / a[..., c : c + 1])
+                    return tuple(outs)
+
+                def init_accs():
+                    return tuple(
+                        jax.device_put(
+                            jnp.zeros((n_dev, X, Y, Z * k), jnp.float32), shard
+                        )
+                        for k in ks
+                    )
+
+                def regroup(arr):  # (n_padded, ...) -> (groups, n_dev, sw, ...)
+                    a = np.asarray(arr)
+                    return a.reshape(-1, n_dev, sw, *a.shape[1:])
+
+                def put(x):
+                    return jax.device_put(jnp.asarray(x), shard)
 
             def run(padded, starts, valid, importance, *pred_args):
-                # n_chunks is a Python quantity here — the compiled programs
-                # are independent of it, so one build serves every window
-                # count on this canvas shape.
-                accs = tuple(jnp.zeros((X, Y, Z * k), jnp.float32) for k in ks)
-                chunk_starts = np.asarray(starts).reshape(-1, sw, 3)
-                chunk_valid = np.asarray(valid).reshape(-1, sw)
+                # the group count is a Python quantity here — the compiled
+                # programs are independent of it, so one build serves every
+                # window count on this canvas shape.
+                accs = init_accs()
+                chunk_starts = regroup(starts)
+                chunk_valid = regroup(valid)
                 for ci in range(len(chunk_starts)):
                     accs = chunk_step(
                         accs, padded,
-                        jnp.asarray(chunk_starts[ci]), jnp.asarray(chunk_valid[ci]),
+                        put(chunk_starts[ci]), put(chunk_valid[ci]),
                         importance, *pred_args,
                     )
                 return finalize(accs)

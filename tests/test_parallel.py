@@ -100,6 +100,34 @@ def test_dp_validity_masked_loss():
     np.testing.assert_allclose(float(metrics_masked["loss"]), np.mean(per_shard), rtol=2e-5)
 
 
+@pytest.mark.slow
+def test_dp_step_full_config_vit():
+    """Full-config sharding x scan interaction (VERDICT r1 #9): the depth-12
+    scan-stacked ViT (hidden 768, window 6) at 96^3 under shard_map on 2
+    virtual devices, one train step. The reduced dryrun (ViT depth 1-2,
+    window 2) cannot catch bugs in how scan-stacked parameter axes interact
+    with mesh sharding at real depth; this can. model_depth=50 keeps the conv
+    encoder affordable on the 1-core CPU host — the ViT config is the part
+    the reduced configs do not cover."""
+    from hybrid_ctunet_tpu.models import CTUNet
+
+    model = CTUNet(out_channels=14, model_depth=50, patch_frame=8)
+    rng = jax.random.PRNGKey(0)
+    g = np.random.default_rng(0)
+    image = jnp.asarray(g.standard_normal((2, 96, 96, 96, 1)), jnp.float32)
+    label = jnp.asarray(g.integers(0, 14, (2, 96, 96, 96, 1)), jnp.float32)
+    valid = jnp.ones((2,), jnp.float32)
+
+    mesh = make_mesh((2,), ("data",), devices=jax.devices()[:2])
+    state = create_train_state(model, rng, image[:1])
+    state = replicate_state(state, mesh)
+    im, lb, vd = shard_batch((image, label, valid), mesh)
+
+    step = make_dp_train_step("ctunet", mesh, donate=False)
+    state, metrics = step(state, im, lb, vd, 1e-4)
+    assert np.isfinite(float(metrics["loss"])), metrics
+
+
 def test_all_gather_metrics():
     mesh = make_mesh()
     vals = jnp.arange(8.0)
