@@ -38,7 +38,16 @@ _DEFAULTS = {
     "CIN1_S2D": ("0", str),
     "ZPAIR": ("0", str),
     "ZPAIR_MAX_COUT": ("64", int),
+    # Winograd F(2,3)^3 Pallas conv. Default OFF: block-level A/B on v5e
+    # shows XLA's fused conv+IN+LeakyReLU pattern wins at every site the
+    # flagship pf8 models actually have — C=64 96^3 ResBlock 42.2 -> 56.3 ms
+    # (LOSS), C=32 stage-1 Bottleneck (8,48,48,96) 9.72 -> 14.89 ms (LOSS).
+    # The kernel DOES win where a conv is lane-starved at full resolution:
+    # C=32 96^3 ResBlock 45.3 -> 37.9 ms — i.e. pf16-width models
+    # (the reference's inconsistent ctunet d50/pf16 default, cli/args.py).
+    # WINOGRAD_CH limits which Cin values the kernel may claim when enabled.
     "WINOGRAD": ("0", str),
+    "WINOGRAD_CH": ("32", str),
     "WINOGRAD_TY": ("0", int),
     # kernel tile knobs
     "ATTN_TB": ("4", int),

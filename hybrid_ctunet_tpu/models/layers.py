@@ -28,7 +28,7 @@ from .. import flags
 from ..ops import attention_pallas, ffn_pallas
 from ..ops.act import gelu_exact, leaky_relu
 from ..ops.conv import conv3d_same, conv_transpose3d_same
-from ..ops.norm import instance_norm, instance_norm_leaky, layer_norm
+from ..ops.norm import instance_norm, instance_norm_leaky, layer_norm, stats_to_affine
 
 
 _REMAT_BLOCKS = True
@@ -76,7 +76,7 @@ class Conv3d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, in_affine=None, in_act=False, emit_stats=False):
         k = _triple(self.kernel_size)
         cin = x.shape[-1]
         w = self.param(
@@ -85,6 +85,18 @@ class Conv3d(nn.Module):
             (*k, cin, self.features),
             jnp.float32,
         )
+        if in_affine is not None or emit_stats:
+            # Winograd fused-IN chain (ops/winograd_pallas.py v2): the caller
+            # (ResBlock) verified winograd_pallas.supports for this shape.
+            from ..ops import winograd_pallas
+
+            assert not self.use_bias
+            return winograd_pallas.conv3x3_winograd_fused(
+                x.astype(self.dtype), w.astype(self.dtype), in_affine,
+                in_act=in_act, emit_stats=emit_stats,
+                out_dtype=self.dtype,
+                interpret=jax.devices()[0].platform != "tpu",
+            )
         # preferred_dtype == compute dtype: the MXU accumulates bf16 convs in
         # fp32 internally regardless; requesting an fp32 OUTPUT breaks the
         # conv VJP under bf16 (mixed-dtype cotangent, jax conv grad rule).
@@ -491,15 +503,62 @@ class ResBlock(nn.Module):
         stride = _triple(self.stride)
         needs_proj = cin != self.features or any(s != 1 for s in stride)
 
-        if skip is None:
-            out = Conv3d(self.features, self.kernel_size, self.stride,
-                         dtype=self.dtype, name="conv1")(x)
+        # Winograd fused-IN chain (flags.WINOGRAD == "2"): conv kernels emit
+        # the IN partial sums, the IN normalize+LeakyReLU rides the next
+        # conv's pad+fold pass (or the residual-add epilogue) — no separate
+        # stats/normalize passes touch HBM. Identical math to the default
+        # path (see ops/winograd_pallas.py v2 notes).
+        f = self.features
+        k3 = _triple(self.kernel_size) == (3, 3, 3)
+
+        def _wino_ok(c_in, shape):
+            from ..ops import winograd_pallas
+
+            return k3 and winograd_pallas.supports(
+                (*shape[:4], c_in), (3, 3, 3, c_in, f), (1, 1, 1)
+            )
+
+        fused2 = (
+            flags.WINOGRAD == "2"
+            and stride == (1, 1, 1)
+            and _wino_ok(f, x.shape)
+        )
+        if fused2:
+            n_vox = x.shape[1] * x.shape[2] * x.shape[3]
+            fused1 = skip is None and _wino_ok(x.shape[-1], x.shape)
+            if fused1:
+                y1, a1, b1 = Conv3d(f, 3, 1, dtype=self.dtype, name="conv1")(
+                    x, emit_stats=True
+                )
+                sc1, bi1 = stats_to_affine(a1, b1, n_vox)
+                y2, a2, b2 = Conv3d(f, 3, 1, dtype=self.dtype, name="conv2")(
+                    y1, in_affine=(sc1, bi1), in_act=True, emit_stats=True
+                )
+            else:
+                if skip is None:
+                    y1 = Conv3d(f, self.kernel_size, self.stride,
+                                dtype=self.dtype, name="conv1")(x)
+                else:
+                    y1 = _SplitInputConv3d(f, self.kernel_size, self.stride,
+                                           dtype=self.dtype, name="conv1")(x, skip)
+                y2, a2, b2 = Conv3d(f, 3, 1, dtype=self.dtype, name="conv2")(
+                    instance_norm_leaky(y1), emit_stats=True
+                )
+            sc2, bi2 = stats_to_affine(a2, b2, n_vox)
+            out = (
+                y2.astype(jnp.float32) * sc2[:, None, None, None, :]
+                + bi2[:, None, None, None, :]
+            ).astype(y2.dtype)
         else:
-            out = _SplitInputConv3d(self.features, self.kernel_size, self.stride,
-                                    dtype=self.dtype, name="conv1")(x, skip)
-        out = instance_norm_leaky(out)
-        out = Conv3d(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv2")(out)
-        out = instance_norm(out)
+            if skip is None:
+                out = Conv3d(self.features, self.kernel_size, self.stride,
+                             dtype=self.dtype, name="conv1")(x)
+            else:
+                out = _SplitInputConv3d(self.features, self.kernel_size, self.stride,
+                                        dtype=self.dtype, name="conv1")(x, skip)
+            out = instance_norm_leaky(out)
+            out = Conv3d(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv2")(out)
+            out = instance_norm(out)
 
         if needs_proj:
             if skip is None:

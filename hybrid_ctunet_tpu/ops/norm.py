@@ -57,6 +57,19 @@ def instance_norm_leaky(x: jax.Array, eps: float = 1e-5, negative_slope: float =
     return leaky_relu(instance_norm(x, eps), negative_slope)
 
 
+def stats_to_affine(s1: jax.Array, s2: jax.Array, n: int, eps: float = 1e-5):
+    """InstanceNorm as a per-(sample, channel) affine from raw partial sums.
+
+    ``s1 = sum x``, ``s2 = sum x^2`` over the ``n`` spatial positions, each
+    (B, C) fp32 (e.g. emitted by the Winograd kernel). Returns (scale, bias)
+    with ``normalize(x) == x*scale + bias`` — identical math to
+    :func:`instance_norm` (E[x^2]-E[x]^2 form, variance clamped at 0)."""
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+    scale = jax.lax.rsqrt(var + eps)
+    return scale, -mean * scale
+
+
 def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float = 1e-5) -> jax.Array:
     """Torch-style LayerNorm over the last axis with elementwise affine."""
     xf = x.astype(jnp.float32)

@@ -52,7 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .winograd import transform_filter
 
 
-def _kernel(xaa, xab, xba, xbb, u_ref, out_ref, *, ty, tz, c, f, dtype):
+def _kernel(xaa, xab, xba, xbb, u_ref, out_ref, *st_ref, ty, tz, c, f, dtype):
     zp = tz + 1
     ll = 2 * c
     # assemble the (4, 2ty+2, ZP, 2C) input slab from main + halo blocks
@@ -118,17 +118,35 @@ def _kernel(xaa, xab, xba, xbb, u_ref, out_ref, *, ty, tz, c, f, dtype):
         yf = jnp.stack([acc[o0][0], acc[o0][1]], axis=1)  # (ty, 2, tz, 2F)
         out_ref[0, o0] = yf.reshape(2 * ty, tz, 2 * f).astype(dtype)
 
+    if st_ref:
+        # Per-block InstanceNorm partial sums over the fp32 accumulators
+        # (before the output cast): s1 = sum y, s2 = sum y^2, per lane. The
+        # host combines blocks + lane halves — this kills the separate
+        # stats read pass of the downstream IN (PERF.md Winograd-v2 plan).
+        s1 = jnp.zeros((2 * f,), jnp.float32)
+        s2 = jnp.zeros((2 * f,), jnp.float32)
+        for o0 in range(2):
+            for o1 in range(2):
+                a = acc[o0][o1]
+                s1 = s1 + jnp.sum(a, axis=(0, 1))
+                s2 = s2 + jnp.sum(a * a, axis=(0, 1))
+        st_ref[0][0, 0, 0] = jnp.stack([s1, s2])  # (2, 2F)
 
-def _pick_ty(hy: int, tz: int) -> int:
+
+def _pick_ty(hy: int, tz: int, c: int) -> int:
     from .. import flags
 
     if flags.WINOGRAD_TY:
         return int(flags.WINOGRAD_TY)
-    # largest tile-row count dividing Y/2 that keeps the block VMEM-safe
-    # (ty=24 with tz=48 overflows the 16 MB scoped-vmem budget; 16 fits);
-    # M = ty*tz >= ~768 needed for MXU efficiency (PERF.md M-dependence probe)
-    for ty in (16, 12, 24, 8, 6, 4):
-        if hy % ty == 0 and ty * (tz + 1) <= 16 * 49:
+    # Largest tile-row count dividing Y/2 that keeps the block VMEM-safe.
+    # The budget scales with the lane width 2C: the empirical overflow point
+    # (ty=24, tz=48 crashes; 16 fits) was measured at C=64 (128 lanes), i.e.
+    # ty*(tz+1)*2C <= 16*49*128 elements of staging. At C=32 the same budget
+    # admits ty=24, which is what lifts M=ty*tz over the >=768 MXU-efficiency
+    # bar for the ResNet stage-1 tail shape (48,48,96).
+    budget = 16 * 49 * 128
+    for ty in (24, 16, 12, 8, 6, 4):
+        if hy % ty == 0 and ty * (tz + 1) * 2 * c <= budget:
             return ty
     return hy
 
@@ -169,27 +187,32 @@ def _folded_filter(w: jax.Array, dtype) -> jax.Array:
 
 
 def supports(x_shape, w_shape, stride) -> bool:
-    """Fast path: stride-1 3^3, C in {32, 64}, even dims, and a big enough
-    tile block for the MXU (M >= 768)."""
+    """Fast path: stride-1 3^3, Cin in the measured-win set
+    (``flags.WINOGRAD_CH``, default C=32 — see flags.py for the ResBlock-level
+    A/B numbers), even dims, and a big enough tile block for the MXU
+    (M >= 768)."""
+    from .. import flags
+
     if tuple(stride) != (1, 1, 1) or tuple(w_shape[:3]) != (3, 3, 3):
         return False
     _, x_, y_, z_, c = x_shape
     f = w_shape[4]
-    if c not in (32, 64, 128) or f not in (32, 64, 128):
+    allowed = {int(v) for v in str(flags.WINOGRAD_CH).split(",") if v}
+    if c not in allowed or f not in (32, 64, 128):
         return False
     if x_ % 2 or y_ % 2 or z_ % 2:
         return False
     tz = z_ // 2
-    ty = _pick_ty(y_ // 2, tz)
+    ty = _pick_ty(y_ // 2, tz, c)
     return (y_ // 2) % ty == 0 and ty * tz >= 768
 
 
-def _conv_impl(x, w, out_dtype, interpret):
+def _conv_impl(x, w, out_dtype, interpret, emit_stats=False):
     b, x_, y_, z_, c = x.shape
     f = w.shape[4]
     tz = z_ // 2
     zp = tz + 1
-    ty = _pick_ty(y_ // 2, tz)
+    ty = _pick_ty(y_ // 2, tz, c)
     nbx, nby = x_ // 2, (y_ // 2) // ty
     ll = 2 * c
 
@@ -198,7 +221,19 @@ def _conv_impl(x, w, out_dtype, interpret):
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
     xp = xp.reshape(b, x_ + 2, y_ + 2, zp, ll).astype(cdt)
 
-    out = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((b, x_, y_, tz, 2 * f), cdt)]
+    out_specs = [
+        pl.BlockSpec((1, 2, 2 * ty, tz, 2 * f), lambda n, i, j: (n, i, j, 0, 0))
+    ]
+    if emit_stats:
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, nbx, nby, 2, 2 * f), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, 1, 1, 2, 2 * f), lambda n, i, j: (n, i, j, 0, 0))
+        )
+
+    res = pl.pallas_call(
         functools.partial(_kernel, ty=ty, tz=tz, c=c, f=f, dtype=cdt),
         grid=(b, nbx, nby),
         in_specs=[
@@ -211,15 +246,20 @@ def _conv_impl(x, w, out_dtype, interpret):
                          lambda n, i, j: (n, i + 1, ty * (j + 1), 0, 0)),
             pl.BlockSpec((16, 2, 2 * c, 2 * f), lambda n, i, j: (0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 2, 2 * ty, tz, 2 * f),
-                               lambda n, i, j: (n, i, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, x_, y_, tz, 2 * f), cdt),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xp, xp, xp, xp, ub)
-    return out.reshape(b, x_, y_, z_, f).astype(out_dtype)
+    y = res[0].reshape(b, x_, y_, z_, f).astype(out_dtype)
+    if not emit_stats:
+        return y
+    st = res[1].sum(axis=(1, 2))  # (b, 2, 2F)
+    s1 = st[:, 0, :f] + st[:, 0, f:]
+    s2 = st[:, 1, :f] + st[:, 1, f:]
+    return y, s1, s2
 
 
 def _direct_conv(x, w, out_dtype):
@@ -255,3 +295,96 @@ def conv3x3_winograd(x, w, *, out_dtype, interpret=False):
     x: (B, X, Y, Z, C); w: (3,3,3,C,F). Caller must check :func:`supports`.
     """
     return _winograd_conv(x, w, out_dtype, interpret)
+
+
+# ---------------------------------------------------------------------------
+# v2: the fused InstanceNorm chain (PERF.md "Winograd v2 plan").
+#
+# The bare kernel swap loses end-to-end because it breaks XLA's
+# conv+IN+LeakyReLU fusion pattern (round-1 A/B). The fused variant recovers
+# the traffic:
+#   - the PREVIOUS IN's normalize + LeakyReLU rides this conv's pad+lane-fold
+#     pass for free (one fused XLA elementwise over the copy that must happen
+#     anyway) — kills the separate normalize read+write;
+#   - the kernel emits per-block IN partial sums (s1, s2) for its OWN output
+#     — kills the downstream stats read;
+#   - the caller applies the resulting scale/bias in its next fused pass
+#     (the next conv's input, or the residual-add epilogue).
+# ---------------------------------------------------------------------------
+
+
+def _apply_affine(x, scale, bias, in_act):
+    # scale/bias: (B, C) fp32 — per-sample per-channel InstanceNorm affine.
+    t = (
+        x.astype(jnp.float32) * scale[:, None, None, None, :]
+        + bias[:, None, None, None, :]
+    )
+    if in_act:
+        t = jnp.where(t > 0, t, 0.01 * t)
+    return t.astype(x.dtype)
+
+
+def _fused_ref(x, w, scale, bias, out_dtype, in_act, emit_stats):
+    """Direct-conv reference of the fused op (backward + oracle path)."""
+    xe = _apply_affine(x, scale, bias, in_act) if scale is not None else x
+    y = _direct_conv(xe, w, out_dtype)
+    if not emit_stats:
+        return y
+    yf = y.astype(jnp.float32)
+    s1 = jnp.sum(yf, axis=(1, 2, 3))
+    s2 = jnp.sum(yf * yf, axis=(1, 2, 3))
+    return y, s1, s2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _winograd_fused(x, w, scale, bias, out_dtype, interpret, in_act, emit_stats):
+    xe = _apply_affine(x, scale, bias, in_act)
+    return _conv_impl(xe, w, out_dtype, interpret, emit_stats=emit_stats)
+
+
+def _fused_fwd(x, w, scale, bias, out_dtype, interpret, in_act, emit_stats):
+    out = _winograd_fused(x, w, scale, bias, out_dtype, interpret, in_act, emit_stats)
+    return out, (x, w, scale, bias)
+
+
+def _fused_bwd(out_dtype, interpret, in_act, emit_stats, res, g):
+    # autodiff through the direct-conv reference: training numerics are
+    # exactly the unfused path's (incl. the stats outputs' contributions)
+    x, w, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda xx, ww, sc, bi: _fused_ref(xx, ww, sc, bi, out_dtype, in_act, emit_stats),
+        x, w, scale, bias,
+    )
+    return vjp(g)
+
+
+_winograd_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def conv3x3_winograd_fused(
+    x,
+    w,
+    in_affine=None,
+    *,
+    in_act=False,
+    emit_stats=False,
+    out_dtype,
+    interpret=False,
+):
+    """Fused-chain stride-1 SAME 3^3 Winograd conv.
+
+    ``in_affine``: optional (scale, bias) each (B, C) fp32 — the previous
+    InstanceNorm's normalize (+LeakyReLU when ``in_act``), applied inside this
+    conv's pad+fold pass. ``emit_stats``: additionally return (s1, s2), each
+    (B, F) fp32 sums of y and y^2 over space, for the caller's IN of this
+    conv's output. Caller must check :func:`supports`."""
+    if in_affine is None:
+        b, c = x.shape[0], x.shape[-1]
+        scale = jnp.ones((b, c), jnp.float32)
+        bias = jnp.zeros((b, c), jnp.float32)
+        in_act = False
+    else:
+        scale, bias = in_affine
+    return _winograd_fused(
+        x, w, scale, bias, out_dtype, interpret, in_act, emit_stats
+    )

@@ -214,6 +214,71 @@ def test_winograd_supports_gating():
     assert not wp.supports((1, 48, 48, 48, 128), (3, 3, 3, 128, 128), (1, 1, 1))
 
 
+def test_winograd_fused_stats_and_affine(rng):
+    """v2 fused chain: in-affine(+leaky) input epilogue and emitted IN
+    partial sums match the direct-conv reference (interpret mode)."""
+    import jax
+    from hybrid_ctunet_tpu.ops import winograd_pallas as wp
+
+    x = jnp.asarray(rng.standard_normal((2, 2, 32, 96, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 32, 32)) * 0.1, jnp.float32)
+    scale = jnp.asarray(1.0 + 0.1 * rng.standard_normal((2, 32)), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal((2, 32)), jnp.float32)
+
+    want_y, want_s1, want_s2 = wp._fused_ref(
+        x, w, scale, bias, jnp.float32, True, True
+    )
+    got_y, got_s1, got_s2 = wp.conv3x3_winograd_fused(
+        x, w, (scale, bias), in_act=True, emit_stats=True,
+        out_dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y), atol=2e-4, rtol=2e-4)
+    n = x.shape[1] * x.shape[2] * x.shape[3]
+    np.testing.assert_allclose(np.asarray(got_s1) / n, np.asarray(want_s1) / n, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_s2) / n, np.asarray(want_s2) / n, atol=2e-3)
+
+    # grads flow through y AND the stats outputs via the direct-path VJP
+    def loss(fn):
+        def inner(xx, sc):
+            y, s1, s2 = fn(xx, sc)
+            return jnp.sum(y**2) + jnp.sum(s1 * s2) / n
+        return inner
+
+    g = jax.grad(loss(lambda xx, sc: wp.conv3x3_winograd_fused(
+        xx, w, (sc, bias), in_act=True, emit_stats=True,
+        out_dtype=jnp.float32, interpret=True)), argnums=(0, 1))(x, scale)
+    gr = jax.grad(loss(lambda xx, sc: wp._fused_ref(
+        xx, w, sc, bias, jnp.float32, True, True)), argnums=(0, 1))(x, scale)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_resblock_winograd_fused_chain_matches_default(rng):
+    """ResBlock under WINOGRAD=2 (fused-IN chain) == default XLA path, both
+    the full chain (conv1 supported) and the conv2-only variant."""
+    import jax
+    from hybrid_ctunet_tpu import flags
+    from hybrid_ctunet_tpu.models.layers import ResBlock
+
+    # full chain: 32->32 at a supported shape
+    x = jnp.asarray(rng.standard_normal((1, 2, 32, 96, 32)), jnp.float32)
+    block = ResBlock(features=32)
+    params = block.init(jax.random.PRNGKey(0), x)
+    base = block.apply(params, x)
+    with flags.override(WINOGRAD="2", WINOGRAD_CH="32"):
+        got = block.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=2e-4, rtol=2e-4)
+
+    # conv2-only: conv1 is 16->32 (unsupported Cin) -> falls back, conv2 fused
+    x2 = jnp.asarray(rng.standard_normal((1, 2, 32, 96, 16)), jnp.float32)
+    block2 = ResBlock(features=32)
+    params2 = block2.init(jax.random.PRNGKey(1), x2)
+    base2 = block2.apply(params2, x2)
+    with flags.override(WINOGRAD="2", WINOGRAD_CH="32"):
+        got2 = block2.apply(params2, x2)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(base2), atol=2e-4, rtol=2e-4)
+
+
 def test_conv3d_same_winograd_gate(rng):
     """conv3d_same routes through the Winograd kernel under the flag and
     matches the default XLA path."""
