@@ -42,9 +42,13 @@ _DEFAULTS = {
     # shows XLA's fused conv+IN+LeakyReLU pattern wins at every site the
     # flagship pf8 models actually have — C=64 96^3 ResBlock 42.2 -> 56.3 ms
     # (LOSS), C=32 stage-1 Bottleneck (8,48,48,96) 9.72 -> 14.89 ms (LOSS).
-    # The kernel DOES win where a conv is lane-starved at full resolution:
-    # C=32 96^3 ResBlock 45.3 -> 37.9 ms — i.e. pf16-width models
-    # (the reference's inconsistent ctunet d50/pf16 default, cli/args.py).
+    # The v2 fused-IN chain ("2", tools/microbench_wino.py) does not rescue
+    # C=64 either: 55.2 -> 189.4 ms — at C=64 the z-fold forces ty<=16
+    # (VMEM), so M=768 < the ~1024-row MXU-efficiency bar and the position
+    # dots run at ~10 TF/s. The kernel DOES win where a conv is lane-starved
+    # at full resolution AND M reaches 1152 (ty=24 at C=32):
+    # C=32 96^3 ResBlock 48.1 -> 40.9 ms (wino2, 1.18x) — i.e. pf16-width
+    # models (the reference's inconsistent ctunet d50/pf16 default).
     # WINOGRAD_CH limits which Cin values the kernel may claim when enabled.
     "WINOGRAD": ("0", str),
     "WINOGRAD_CH": ("32", str),
