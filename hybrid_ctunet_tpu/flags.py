@@ -38,6 +38,14 @@ _DEFAULTS = {
     "CIN1_S2D": ("0", str),
     "ZPAIR": ("0", str),
     "ZPAIR_MAX_COUT": ("64", int),
+    # whole-stage z-folded ResNet bottlenecks (ops/conv.py conv3d_folded):
+    # stages whose planes <= ZFOLD_CH run every block in the z-folded layout
+    # (2x lane width at 2x structured-sparse MACs; fold/unfold amortized per
+    # stage). Stage-1 chain 76.4 -> 52.6 ms standalone
+    # (tools/probe_folded_stage.py); END-TO-END WIN 9.76 -> 9.98 vol/min —
+    # unlike the per-conv rewrites, no per-conv relayout breaks XLA fusion.
+    "ZFOLD": ("1", str),
+    "ZFOLD_CH": ("32", int),
     # Winograd F(2,3)^3 Pallas conv. Default OFF: block-level A/B on v5e
     # shows XLA's fused conv+IN+LeakyReLU pattern wins at every site the
     # flagship pf8 models actually have — C=64 96^3 ResBlock 42.2 -> 56.3 ms

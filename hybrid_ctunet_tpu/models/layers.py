@@ -27,7 +27,7 @@ import numpy as np
 from .. import flags
 from ..ops import attention_pallas, ffn_pallas
 from ..ops.act import gelu_exact, leaky_relu
-from ..ops.conv import conv3d_same, conv_transpose3d_same
+from ..ops.conv import conv3d_folded, conv3d_same, conv_transpose3d_same
 from ..ops.norm import instance_norm, instance_norm_leaky, layer_norm, stats_to_affine
 
 
@@ -76,15 +76,26 @@ class Conv3d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, in_affine=None, in_act=False, emit_stats=False):
+    def __call__(self, x, in_affine=None, in_act=False, emit_stats=False,
+                 folded=False):
         k = _triple(self.kernel_size)
-        cin = x.shape[-1]
+        # folded: x is in the z-folded layout (ops/conv.py fold_z) carrying
+        # 2*cin channels; the parameter keeps its UNFOLDED shape (identical
+        # tree/checkpoints) and the folded kernel is built at apply time.
+        cin = x.shape[-1] // 2 if folded else x.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
             (*k, cin, self.features),
             jnp.float32,
         )
+        if folded:
+            assert not self.use_bias and in_affine is None and not emit_stats
+            assert _triple(self.stride) == (1, 1, 1)
+            return conv3d_folded(
+                x.astype(self.dtype), w.astype(self.dtype),
+                preferred_dtype=self.dtype,
+            )
         if in_affine is not None or emit_stats:
             # Winograd fused-IN chain (ops/winograd_pallas.py v2): the caller
             # (ResBlock) verified winograd_pallas.supports for this shape.

@@ -20,8 +20,15 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .. import flags
 from ..ops.act import leaky_relu
-from ..ops.norm import instance_norm, instance_norm_leaky
+from ..ops.conv import fold_z, unfold_z
+from ..ops.norm import (
+    instance_norm,
+    instance_norm_folded,
+    instance_norm_leaky,
+    instance_norm_leaky_folded,
+)
 from .layers import Conv3d, maybe_remat
 
 LAYER_COUNTS = {
@@ -37,18 +44,40 @@ EXPANSION = 4
 
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride) -> 1x1(x4) bottleneck with IN + LeakyReLU
-    (reference resnet.py:82-126)."""
+    (reference resnet.py:82-126).
+
+    ``folded=True`` (stride-1 only): the block runs entirely in the z-folded
+    layout (ops/conv.py fold_z — input carries 2*cin channels), doubling the
+    MXU lane width of the lane-starved planes=32 stage. Identical math and
+    parameter tree; the caller folds/unfolds once per stage."""
 
     planes: int
     stride: Sequence[int] | int = 1
+    folded: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
         cout = self.planes * EXPANSION
         stride = (self.stride,) * 3 if isinstance(self.stride, int) else tuple(self.stride)
 
+        if self.folded:
+            assert stride == (1, 1, 1)
+            cin = x.shape[-1] // 2
+            out = Conv3d(self.planes, 1, 1, dtype=self.dtype, name="conv1")(x, folded=True)
+            out = instance_norm_leaky_folded(out)
+            out = Conv3d(self.planes, 3, 1, dtype=self.dtype, name="conv2")(out, folded=True)
+            out = instance_norm_leaky_folded(out)
+            out = Conv3d(cout, 1, 1, dtype=self.dtype, name="conv3")(out, folded=True)
+            out = instance_norm_folded(out)
+            residual = x
+            if cin != cout:
+                residual = Conv3d(cout, 1, 1, dtype=self.dtype,
+                                  name="downsample_conv")(x, folded=True)
+                residual = instance_norm_folded(residual)
+            return leaky_relu(out + residual)
+
+        cin = x.shape[-1]
         out = Conv3d(self.planes, 1, 1, dtype=self.dtype, name="conv1")(x)
         out = instance_norm_leaky(out)
         out = Conv3d(self.planes, 3, stride, dtype=self.dtype, name="conv2")(out)
@@ -67,11 +96,14 @@ class _ScanBottleneck(nn.Module):
     """scan-compatible identity-shape bottleneck: (carry, _) -> (carry, None)."""
 
     planes: int
+    folded: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, h, _):
-        return Bottleneck(self.planes, 1, dtype=self.dtype, name="block")(h), None
+        return Bottleneck(
+            self.planes, 1, folded=self.folded, dtype=self.dtype, name="block"
+        )(h), None
 
 
 class ResNet3D(nn.Module):
@@ -108,8 +140,23 @@ class ResNet3D(nn.Module):
         for stage, (planes, blocks, stride) in enumerate(
             zip(BLOCK_INPLANES, layers, stage_strides)
         ):
+            s3 = (stride,) * 3 if isinstance(stride, int) else tuple(stride)
+            # z-folded stage: lane-starved widths (planes <= ZFOLD_CH, i.e.
+            # the planes=32 stage-1) run every block in the z-folded layout —
+            # fold/unfold are free contiguous reshapes amortized over the
+            # whole stage; 76.4 -> 52.6 ms measured on the 8-block stage-1
+            # chain (tools/probe_folded_stage.py). Identical math and params.
+            folded = (
+                flags.ZFOLD == "1"
+                and planes <= flags.ZFOLD_CH
+                and s3 == (1, 1, 1)
+                and h.shape[3] % 2 == 0
+            )
+            if folded:
+                h = fold_z(h)
             h = Bottleneck(
-                planes, stride, dtype=self.dtype, name=f"layer{stage + 1}_block0"
+                planes, stride, folded=folded, dtype=self.dtype,
+                name=f"layer{stage + 1}_block0",
             )(h)
             if self.scan_blocks and blocks > 1:
                 # remat-scan: recompute each tail block in the backward pass
@@ -122,11 +169,17 @@ class ResNet3D(nn.Module):
                     length=blocks - 1,
                     metadata_params={nn.PARTITION_NAME: None},
                 )
-                h, _ = Tail(planes, dtype=self.dtype, name=f"layer{stage + 1}_tail")(h, None)
+                h, _ = Tail(
+                    planes, folded=folded, dtype=self.dtype,
+                    name=f"layer{stage + 1}_tail",
+                )(h, None)
             else:
                 for b in range(1, blocks):
                     h = Bottleneck(
-                        planes, 1, dtype=self.dtype, name=f"layer{stage + 1}_block{b}"
+                        planes, 1, folded=folded, dtype=self.dtype,
+                        name=f"layer{stage + 1}_block{b}",
                     )(h)
+            if folded:
+                h = unfold_z(h)
             features.append(h)
         return features

@@ -57,6 +57,37 @@ def instance_norm_leaky(x: jax.Array, eps: float = 1e-5, negative_slope: float =
     return leaky_relu(instance_norm(x, eps), negative_slope)
 
 
+def instance_norm_folded(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Instance norm applied in the z-folded layout (ops/conv.py fold_z).
+
+    ``x``: (B, X, Y, Zf, 2C) where folded channels [0, C) and [C, 2C) are the
+    even/odd z-slots of the same original C channels. Per-channel statistics
+    therefore combine the two slot copies; the result equals
+    ``fold_z(instance_norm(unfold_z(x)))`` exactly (same single-pass fp32
+    E[x^2]-E[x]^2 form, variance clamped at 0)."""
+    xf = x.astype(jnp.float32)
+    C2 = x.shape[-1]
+    C = C2 // 2
+    n = 2 * x.shape[1] * x.shape[2] * x.shape[3]
+    s1 = jnp.sum(xf, axis=(1, 2, 3))  # (B, 2C)
+    s2 = jnp.sum(jnp.square(xf), axis=(1, 2, 3))
+    mean = (s1[:, :C] + s1[:, C:]) / n
+    var = jnp.maximum((s2[:, :C] + s2[:, C:]) / n - jnp.square(mean), 0.0)
+    scale = jax.lax.rsqrt(var + eps)
+    mean2 = jnp.tile(mean, 2)[:, None, None, None, :]
+    scale2 = jnp.tile(scale, 2)[:, None, None, None, :]
+    return ((xf - mean2) * scale2).astype(x.dtype)
+
+
+def instance_norm_leaky_folded(
+    x: jax.Array, eps: float = 1e-5, negative_slope: float = 0.01
+) -> jax.Array:
+    """Folded-layout IN + LeakyReLU (conv-path epilogue in folded stages)."""
+    from .act import leaky_relu
+
+    return leaky_relu(instance_norm_folded(x, eps), negative_slope)
+
+
 def stats_to_affine(s1: jax.Array, s2: jax.Array, n: int, eps: float = 1e-5):
     """InstanceNorm as a per-(sample, channel) affine from raw partial sums.
 

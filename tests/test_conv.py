@@ -179,3 +179,60 @@ def test_zpair_conv_matches_native(rng):
     with flags.override(ZPAIR="1"):
         out = conv3d_same(x, w, 1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=5e-6, rtol=1e-5)
+
+
+def test_conv3d_folded_matches_native(rng):
+    """Folded-layout conv (z s2d on in+out channels) must equal
+    fold(conv(unfold(x))) for both 1^3 and 3^3 kernels, Cin != Cout."""
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu.ops.conv import conv3d_folded, conv3d_same, fold_z, unfold_z
+
+    for k, cin, cout in ((3, 32, 32), (3, 16, 32), (1, 32, 8), (1, 16, 48)):
+        x = jnp.asarray(rng.standard_normal((2, 6, 7, 10, cin)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, k, k, cin, cout)) * 0.1, jnp.float32)
+        want = conv3d_same(x, w, 1)
+        got = unfold_z(conv3d_folded(fold_z(x), w))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_folded_resnet_stage_matches_native(rng):
+    """ZFOLD=1 runs ResNet stage 1 in the z-folded layout; outputs and the
+    parameter tree must match the native path."""
+    import jax
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu import flags
+    from hybrid_ctunet_tpu.models.resnet3d import ResNet3D
+
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 8, 1)), jnp.float32)
+    model = ResNet3D(50, ((2, 2, 1), (2, 2, 2), (2, 2, 2), (2, 2, 2)))
+    with flags.override(ZFOLD="0"):
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        want = model.apply(params, x)
+    with flags.override(ZFOLD="1"):
+        params_f = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        got = model.apply(params, x)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_f)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params_f)):
+        assert a.shape == b.shape
+    # IN chains amplify conv reduction-order ulps; 4 stacked stages of
+    # fp32 compound to ~1e-3 worst-case on a handful of elements
+    for w_, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_), atol=1e-3, rtol=1e-3)
+
+
+def test_instance_norm_folded_matches_unfolded(rng):
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu.ops.conv import fold_z, unfold_z
+    from hybrid_ctunet_tpu.ops.norm import (
+        instance_norm, instance_norm_folded, instance_norm_leaky,
+        instance_norm_leaky_folded,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 5, 6, 8, 7)) * 3 + 1, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(unfold_z(instance_norm_folded(fold_z(x)))),
+        np.asarray(instance_norm(x)), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(unfold_z(instance_norm_leaky_folded(fold_z(x)))),
+        np.asarray(instance_norm_leaky(x)), atol=1e-5, rtol=1e-5)
