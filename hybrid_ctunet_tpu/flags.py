@@ -46,6 +46,19 @@ _DEFAULTS = {
     # unlike the per-conv rewrites, no per-conv relayout breaks XLA fusion.
     "ZFOLD": ("1", str),
     "ZFOLD_CH": ("32", int),
+    # z-folded full-resolution ResBlocks (models/layers.py ResBlock): blocks
+    # with features <= ZFOLD_RES_CH and stride 1 run conv1/conv2/projection
+    # in the folded layout. Standalone rates win (tools/probe_conv_rates.py:
+    # 64->64 @96^3 29.25 ms vs folded-as-128 @(96,96,48) 22.53, 1.30x) and
+    # two in-model blocks win (tools/ab_zfold_res.py: CatConvBlock
+    # 92.7 -> 83.3 ms, UpConvBlock 55.7 -> 49.4), but END TO END it LOSES
+    # (tools/ab_zfold_model.py: TUNet chunk 190.2 -> 201.8 ms, CTUNet
+    # 412.5 -> 430.5) — the per-block fold/unfold relayouts break XLA's
+    # producer/consumer fusion around the blocks, the same failure mode as
+    # Winograd v1/v2 and ZPAIR. Default OFF; unlike ZFOLD (whole-stage,
+    # one fold per ResNet stage) this folds per block and never amortizes.
+    "ZFOLD_RES": ("0", str),
+    "ZFOLD_RES_CH": ("64", int),
     # Winograd F(2,3)^3 Pallas conv. Default OFF: block-level A/B on v5e
     # shows XLA's fused conv+IN+LeakyReLU pattern wins at every site the
     # flagship pf8 models actually have — C=64 96^3 ResBlock 42.2 -> 56.3 ms

@@ -27,8 +27,15 @@ import numpy as np
 from .. import flags
 from ..ops import attention_pallas, ffn_pallas
 from ..ops.act import gelu_exact, leaky_relu
-from ..ops.conv import conv3d_folded, conv3d_same, conv_transpose3d_same
-from ..ops.norm import instance_norm, instance_norm_leaky, layer_norm, stats_to_affine
+from ..ops.conv import conv3d_folded, conv3d_same, conv_transpose3d_same, fold_z, unfold_z
+from ..ops.norm import (
+    instance_norm,
+    instance_norm_folded,
+    instance_norm_leaky,
+    instance_norm_leaky_folded,
+    layer_norm,
+    stats_to_affine,
+)
 
 
 _REMAT_BLOCKS = True
@@ -468,15 +475,26 @@ class _SplitInputConv3d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, a, b):
+    def __call__(self, a, b, folded=False):
         k = _triple(self.kernel_size)
-        ca, cb = a.shape[-1], b.shape[-1]
+        # folded: a and b are each in the z-folded layout (ops/conv.py
+        # fold_z, 2x channels); the parameter keeps its unfolded concat
+        # shape and each half-kernel is folded at apply time.
+        ca = a.shape[-1] // 2 if folded else a.shape[-1]
+        cb = b.shape[-1] // 2 if folded else b.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
             (*k, ca + cb, self.features),
             jnp.float32,
         )
+        if folded:
+            assert _triple(self.stride) == (1, 1, 1)
+            wa = w[..., :ca, :].astype(self.dtype)
+            wb = w[..., ca:, :].astype(self.dtype)
+            return conv3d_folded(
+                a.astype(self.dtype), wa, preferred_dtype=self.dtype
+            ) + conv3d_folded(b.astype(self.dtype), wb, preferred_dtype=self.dtype)
         # Standalone the materialized wide-Cin conv wins (-9 ms on the 96^3
         # decoder0 block) but END TO END virtual is worth +1.2 vol/min — XLA
         # fuses the two half convs with their producers. Default virtual;
@@ -534,6 +552,50 @@ class ResBlock(nn.Module):
             and stride == (1, 1, 1)
             and _wino_ok(f, x.shape)
         )
+        zfold_res = (
+            not fused2
+            and flags.ZFOLD == "1"
+            and flags.ZFOLD_RES == "1"
+            and k3
+            and stride == (1, 1, 1)
+            and f <= flags.ZFOLD_RES_CH
+            and f % 2 == 0
+            and x.shape[3] % 2 == 0
+            and (skip is None or needs_proj)
+            and cin >= 16
+        )
+        if zfold_res:
+            # z-folded full-res block: every stride-1 conv runs in the
+            # fold_z layout at 2x lane width / 2x structured-sparse MACs.
+            # Default OFF (flags.py ZFOLD_RES): standalone convs win
+            # 1.25-1.30x and two blocks win in isolation (CatConvBlock
+            # 92.7 -> 83.3 ms, UpConvBlock 55.7 -> 49.4,
+            # tools/ab_zfold_res.py), but the full model LOSES
+            # (tools/ab_zfold_model.py: TUNet chunk 190 -> 202 ms) — the
+            # per-block fold/unfold relayouts break XLA's cross-block
+            # fusion. Kept as a gated path: identical math and parameter
+            # tree, pinned by tests/test_conv.py::test_zfold_resblock_*.
+            xf = fold_z(x)
+            sf = fold_z(skip) if skip is not None else None
+            if skip is None:
+                y1 = Conv3d(f, 3, 1, dtype=self.dtype, name="conv1")(xf, folded=True)
+            else:
+                y1 = _SplitInputConv3d(f, 3, 1, dtype=self.dtype,
+                                       name="conv1")(xf, sf, folded=True)
+            y1 = instance_norm_leaky_folded(y1)
+            out = Conv3d(f, 3, 1, dtype=self.dtype, name="conv2")(y1, folded=True)
+            out = instance_norm_folded(out)
+            if needs_proj:
+                if skip is None:
+                    residual = Conv3d(f, 1, 1, dtype=self.dtype, name="conv3")(xf, folded=True)
+                else:
+                    residual = _SplitInputConv3d(f, 1, 1, dtype=self.dtype,
+                                                 name="conv3")(xf, sf, folded=True)
+                residual = instance_norm_folded(residual)
+            else:
+                residual = xf
+            return unfold_z(leaky_relu(out + residual))
+
         if fused2:
             n_vox = x.shape[1] * x.shape[2] * x.shape[3]
             fused1 = skip is None and _wino_ok(x.shape[-1], x.shape)

@@ -236,3 +236,39 @@ def test_instance_norm_folded_matches_unfolded(rng):
     np.testing.assert_allclose(
         np.asarray(unfold_z(instance_norm_leaky_folded(fold_z(x)))),
         np.asarray(instance_norm_leaky(x)), atol=1e-5, rtol=1e-5)
+
+
+def test_zfold_resblock_matches_native(rng):
+    """ZFOLD_RES=1 runs lane-starved full-res ResBlocks in the z-folded
+    layout; outputs and parameter trees must match the native path for
+    every flagship site shape: identity (cin==f), projection (cin!=f),
+    tiny-Cin stem (cin=1, gated to the native path by cin >= 16), and
+    virtual-concat skip (CatConvBlock's 64+64 -> 64)."""
+    import jax
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu import flags
+    from hybrid_ctunet_tpu.models.layers import ResBlock
+
+    cases = [
+        (16, None, 16),   # identity residual
+        (24, None, 16),   # projection shortcut
+        (1, None, 16),    # stem: tiny Cin, fold after conv1
+        (8, 8, 16),       # virtual-concat skip + projection
+    ]
+    for cin, cskip, f in cases:
+        x = jnp.asarray(rng.standard_normal((1, 5, 6, 8, cin)), jnp.float32)
+        skip = (jnp.asarray(rng.standard_normal((1, 5, 6, 8, cskip)), jnp.float32)
+                if cskip else None)
+        args = (x,) if skip is None else (x, skip)
+        model = ResBlock(f, 3, 1)
+        with flags.override(ZFOLD_RES="0"):
+            params = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+            want = model.apply(params, *args)
+        with flags.override(ZFOLD_RES="1", ZFOLD_RES_CH=str(f)):
+            params_f = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+            got = model.apply(params, *args)
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_f)
+        for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params_f)):
+            assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
