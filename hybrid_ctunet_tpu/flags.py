@@ -59,6 +59,19 @@ _DEFAULTS = {
     # one fold per ResNet stage) this folds per block and never amortizes.
     "ZFOLD_RES": ("0", str),
     "ZFOLD_RES_CH": ("64", int),
+    # alternating-parity z-fold ResBlocks (ops/conv.py conv3d_altfold_*):
+    # conv1 maps the free aligned z-fold view to ODD output pairs and conv2
+    # maps back, so a (3,3,2) kernel over 2C lanes keeps 6/8 weight blocks
+    # live (75% useful MACs, vs 50% for the same-parity ZFOLD_RES fold) and
+    # the block's input/output stay free contiguous reshapes of the standard
+    # layout — no relayout anywhere in the chain. Targets the lane-starved
+    # C<=ALTFOLD_CH stride-1 3^3 convs (~50 TF/s native at C=64 vs ~139
+    # raw at 128 lanes, tools/probe_conv_rates.py). Measured END-TO-END WIN
+    # (tools/ab_altfold_model.py, v5e sw8): TUNet chunk 190.1 -> 157.4 ms,
+    # CTUNet 411.8 -> 376.1 — the first conv rewrite to win in-model
+    # (standalone chain A/B: C=64 1.31x, C=32 2.85x; C=128 loses, gated).
+    "ALTFOLD": ("1", str),
+    "ALTFOLD_CH": ("64", int),
     # Winograd F(2,3)^3 Pallas conv. Default OFF: block-level A/B on v5e
     # shows XLA's fused conv+IN+LeakyReLU pattern wins at every site the
     # flagship pf8 models actually have — C=64 96^3 ResBlock 42.2 -> 56.3 ms

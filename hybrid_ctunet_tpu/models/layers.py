@@ -27,7 +27,16 @@ import numpy as np
 from .. import flags
 from ..ops import attention_pallas, ffn_pallas
 from ..ops.act import gelu_exact, leaky_relu
-from ..ops.conv import conv3d_folded, conv3d_same, conv_transpose3d_same, fold_z, unfold_z
+from ..ops.conv import (
+    conv3d_altfold_a2o,
+    conv3d_altfold_o2a,
+    conv3d_folded,
+    conv3d_same,
+    conv_transpose3d_same,
+    fold_z,
+    mask_odd_edges,
+    unfold_z,
+)
 from ..ops.norm import (
     instance_norm,
     instance_norm_folded,
@@ -84,18 +93,26 @@ class Conv3d(nn.Module):
 
     @nn.compact
     def __call__(self, x, in_affine=None, in_act=False, emit_stats=False,
-                 folded=False):
+                 folded=False, altfold=""):
         k = _triple(self.kernel_size)
         # folded: x is in the z-folded layout (ops/conv.py fold_z) carrying
         # 2*cin channels; the parameter keeps its UNFOLDED shape (identical
         # tree/checkpoints) and the folded kernel is built at apply time.
-        cin = x.shape[-1] // 2 if folded else x.shape[-1]
+        # altfold ("a2o"/"o2a"): alternating-parity fold conv — x is the
+        # aligned/odd z-fold layout respectively; same unfolded parameter.
+        cin = x.shape[-1] // 2 if (folded or altfold) else x.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
             (*k, cin, self.features),
             jnp.float32,
         )
+        if altfold:
+            assert not self.use_bias and in_affine is None and not emit_stats
+            assert _triple(self.stride) == (1, 1, 1) and k == (3, 3, 3)
+            fn = conv3d_altfold_a2o if altfold == "a2o" else conv3d_altfold_o2a
+            return fn(x.astype(self.dtype), w.astype(self.dtype),
+                      preferred_dtype=self.dtype)
         if folded:
             assert not self.use_bias and in_affine is None and not emit_stats
             assert _triple(self.stride) == (1, 1, 1)
@@ -475,19 +492,28 @@ class _SplitInputConv3d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, a, b, folded=False):
+    def __call__(self, a, b, folded=False, altfold=""):
         k = _triple(self.kernel_size)
         # folded: a and b are each in the z-folded layout (ops/conv.py
         # fold_z, 2x channels); the parameter keeps its unfolded concat
         # shape and each half-kernel is folded at apply time.
-        ca = a.shape[-1] // 2 if folded else a.shape[-1]
-        cb = b.shape[-1] // 2 if folded else b.shape[-1]
+        # altfold="a2o": alternating-parity fold — a and b are aligned
+        # folds, the two half-kernel convs emit (and sum in) the odd layout.
+        ca = a.shape[-1] // 2 if (folded or altfold) else a.shape[-1]
+        cb = b.shape[-1] // 2 if (folded or altfold) else b.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
             (*k, ca + cb, self.features),
             jnp.float32,
         )
+        if altfold:
+            assert altfold == "a2o" and _triple(self.stride) == (1, 1, 1)
+            wa = w[..., :ca, :].astype(self.dtype)
+            wb = w[..., ca:, :].astype(self.dtype)
+            return conv3d_altfold_a2o(
+                a.astype(self.dtype), wa, preferred_dtype=self.dtype
+            ) + conv3d_altfold_a2o(b.astype(self.dtype), wb, preferred_dtype=self.dtype)
         if folded:
             assert _triple(self.stride) == (1, 1, 1)
             wa = w[..., :ca, :].astype(self.dtype)
@@ -552,6 +578,52 @@ class ResBlock(nn.Module):
             and stride == (1, 1, 1)
             and _wino_ok(f, x.shape)
         )
+        altfold = (
+            not fused2
+            and flags.ALTFOLD == "1"
+            and k3
+            and stride == (1, 1, 1)
+            and f <= flags.ALTFOLD_CH
+            and f % 2 == 0
+            and x.shape[3] % 2 == 0
+            and (skip is None or needs_proj)
+        )
+        if altfold:
+            # alternating-parity z-fold block: conv1 runs aligned-fold ->
+            # ODD-pair output, conv2 odd -> aligned, both as (3,3,2) kernels
+            # over 2C lanes with 6/8 weight blocks live (75% useful MACs) —
+            # ops/conv.py conv3d_altfold_*. The block's input/output and
+            # both operand layouts are free contiguous reshapes, so unlike
+            # ZFOLD_RES nothing relayouts between convs. Measured v5e
+            # (tools/probe_altfold.py, B8 96^3 conv-IN-lrelu-conv chain):
+            # C=64 46.9 -> 35.7 ms, C=32 59.3 -> 20.8; C=128 LOSES (already
+            # lane-saturated), hence the ALTFOLD_CH gate. Identical math and
+            # parameter tree; pinned by tests/test_conv.py.
+            n_vox = x.shape[1] * x.shape[2] * x.shape[3]
+            xf = fold_z(x)
+            sf = fold_z(skip) if skip is not None else None
+            if skip is None:
+                y1 = Conv3d(f, 3, 1, dtype=self.dtype, name="conv1")(xf, altfold="a2o")
+            else:
+                y1 = _SplitInputConv3d(f, 3, 1, dtype=self.dtype,
+                                       name="conv1")(xf, sf, altfold="a2o")
+            # mask the garbage edge half-slots before stats, and again after
+            # the affine (they stand in for conv2's z zero-padding)
+            y1 = mask_odd_edges(y1)
+            y1 = mask_odd_edges(instance_norm_leaky_folded(y1, count=n_vox))
+            out = Conv3d(f, 3, 1, dtype=self.dtype, name="conv2")(y1, altfold="o2a")
+            out = instance_norm_folded(out)
+            if needs_proj:
+                if skip is None:
+                    residual = Conv3d(f, 1, 1, dtype=self.dtype, name="conv3")(xf, folded=True)
+                else:
+                    residual = _SplitInputConv3d(f, 1, 1, dtype=self.dtype,
+                                                 name="conv3")(xf, sf, folded=True)
+                residual = instance_norm_folded(residual)
+            else:
+                residual = xf
+            return unfold_z(leaky_relu(out + residual))
+
         zfold_res = (
             not fused2
             and flags.ZFOLD == "1"

@@ -229,6 +229,83 @@ def conv3d_folded(
     )
 
 
+def altfold_kernel(w: jax.Array) -> jax.Array:
+    """(3,3,3,C,F) -> (3,3,2,2C,2F) alternating-parity folded kernel.
+
+    Used by both :func:`conv3d_altfold_a2o` (aligned-pair input -> odd-pair
+    output) and :func:`conv3d_altfold_o2a` (odd -> aligned): in either
+    direction, input pair ``q + kzf`` contributes plane offset
+    ``dz = 2*kzf + a - b - 1`` to output slot ``b``, live iff |dz| <= 1 —
+    6 of the 8 (kzf, a, b) blocks, i.e. 75% useful MACs at 2C lanes
+    (vs 50% for the same-parity fold of :func:`conv3d_folded`)."""
+    C, F = w.shape[3], w.shape[4]
+    wf = jnp.zeros((3, 3, 2, 2 * C, 2 * F), w.dtype)
+    for kzf in (0, 1):
+        for a in (0, 1):
+            for b in (0, 1):
+                dz = 2 * kzf + a - b - 1
+                if -1 <= dz <= 1:
+                    wf = wf.at[:, :, kzf, a * C : (a + 1) * C, b * F : (b + 1) * F].set(
+                        w[:, :, dz + 1]
+                    )
+    return wf
+
+
+def conv3d_altfold_a2o(xf: jax.Array, w: jax.Array, *, preferred_dtype=jnp.float32):
+    """Stride-1 SAME 3^3 conv from the ALIGNED z-fold layout to the ODD one.
+
+    ``xf``: (B, X, Y, Zf, 2C) aligned fold (:func:`fold_z` — slot pair
+    (2q, 2q+1)); ``w``: the original (3, 3, 3, C, F) kernel. Returns
+    (B, X, Y, Zf+1, 2F) where output slot q holds z-planes (2q-1, 2q) —
+    slot 0's first half (plane -1) and slot Zf's second half (plane Z) are
+    GARBAGE (computed over the virtual z padding) and must be masked with
+    :func:`mask_odd_edges` before statistics or a following conv.
+
+    Why the parity alternation: the odd output pair (2q-1, 2q) reads input
+    planes (2q-2 .. 2q+1) = exactly the two ALIGNED pairs (q-1, q) — so
+    both operands stay free contiguous reshapes of the standard layout and
+    the folded kernel keeps 6/8 blocks live (75% useful MACs at 2C lanes,
+    vs 50% for the same-parity fold whose 3^3 kernel spans 3 folds).
+    Measured v5e: 128-lane convs run ~139 TF/s raw (tools/probe_conv_rates)
+    vs ~50 at 64 lanes, so the C=64 full-res decoder convs
+    (reference hybrid_CTUNet.py:29-105) net ~2x despite the 33% overhead."""
+    wf = altfold_kernel(w)
+    dn = _DN(xf.shape, wf.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    return lax.conv_general_dilated(
+        xf, wf, (1, 1, 1), [(1, 1), (1, 1), (1, 1)], dimension_numbers=dn,
+        preferred_element_type=preferred_dtype,
+    )
+
+
+def conv3d_altfold_o2a(y_odd: jax.Array, w: jax.Array, *, preferred_dtype=jnp.float32):
+    """Stride-1 SAME 3^3 conv from the ODD z-fold layout back to ALIGNED.
+
+    ``y_odd``: (B, X, Y, Zf+1, 2C), odd layout as produced by
+    :func:`conv3d_altfold_a2o` with the edge slots already zeroed
+    (:func:`mask_odd_edges` — they stand in for the conv's z zero-padding).
+    Returns (B, X, Y, Zf, 2F) in the aligned fold layout
+    (``unfold_z``-compatible). Same 75%-live folded kernel."""
+    wf = altfold_kernel(w)
+    dn = _DN(y_odd.shape, wf.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    return lax.conv_general_dilated(
+        y_odd, wf, (1, 1, 1), [(1, 1), (1, 1), (0, 0)], dimension_numbers=dn,
+        preferred_element_type=preferred_dtype,
+    )
+
+
+def mask_odd_edges(y_odd: jax.Array) -> jax.Array:
+    """Zero the two garbage edge half-slots of an odd-layout tensor: slot 0's
+    first channel half (virtual plane -1) and the last slot's second half
+    (virtual plane Z). One broadcast multiply — fuses into the surrounding
+    elementwise epilogue."""
+    Zf1, C2 = y_odd.shape[3], y_odd.shape[4]
+    C = C2 // 2
+    mask = jnp.ones((Zf1, C2), y_odd.dtype)
+    mask = mask.at[0, :C].set(0)
+    mask = mask.at[Zf1 - 1, C:].set(0)
+    return y_odd * mask[None, None, None]
+
+
 def _zpair_conv(x, w, preferred_dtype):
     """Stride-1 SAME 3^3 conv computing z-output pairs: kernel (3,3,4) with
     Cout blocks [taps 0..2 | taps 1..3], z-stride 2, un-paired by reshape.

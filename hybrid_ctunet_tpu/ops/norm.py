@@ -57,18 +57,23 @@ def instance_norm_leaky(x: jax.Array, eps: float = 1e-5, negative_slope: float =
     return leaky_relu(instance_norm(x, eps), negative_slope)
 
 
-def instance_norm_folded(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+def instance_norm_folded(x: jax.Array, eps: float = 1e-5, *, count: int | None = None) -> jax.Array:
     """Instance norm applied in the z-folded layout (ops/conv.py fold_z).
 
     ``x``: (B, X, Y, Zf, 2C) where folded channels [0, C) and [C, 2C) are the
     even/odd z-slots of the same original C channels. Per-channel statistics
     therefore combine the two slot copies; the result equals
     ``fold_z(instance_norm(unfold_z(x)))`` exactly (same single-pass fp32
-    E[x^2]-E[x]^2 form, variance clamped at 0)."""
+    E[x^2]-E[x]^2 form, variance clamped at 0).
+
+    ``count``: override the valid element count per (batch, channel) — used
+    by the ODD alternating-fold layout (ops/conv.py conv3d_altfold_a2o),
+    whose edge half-slots are zeroed garbage: they contribute 0 to both sums
+    but must not inflate the divisor."""
     xf = x.astype(jnp.float32)
     C2 = x.shape[-1]
     C = C2 // 2
-    n = 2 * x.shape[1] * x.shape[2] * x.shape[3]
+    n = count if count is not None else 2 * x.shape[1] * x.shape[2] * x.shape[3]
     s1 = jnp.sum(xf, axis=(1, 2, 3))  # (B, 2C)
     s2 = jnp.sum(jnp.square(xf), axis=(1, 2, 3))
     mean = (s1[:, :C] + s1[:, C:]) / n
@@ -80,12 +85,13 @@ def instance_norm_folded(x: jax.Array, eps: float = 1e-5) -> jax.Array:
 
 
 def instance_norm_leaky_folded(
-    x: jax.Array, eps: float = 1e-5, negative_slope: float = 0.01
+    x: jax.Array, eps: float = 1e-5, negative_slope: float = 0.01,
+    *, count: int | None = None,
 ) -> jax.Array:
     """Folded-layout IN + LeakyReLU (conv-path epilogue in folded stages)."""
     from .act import leaky_relu
 
-    return leaky_relu(instance_norm_folded(x, eps), negative_slope)
+    return leaky_relu(instance_norm_folded(x, eps, count=count), negative_slope)
 
 
 def stats_to_affine(s1: jax.Array, s2: jax.Array, n: int, eps: float = 1e-5):

@@ -272,3 +272,84 @@ def test_zfold_resblock_matches_native(rng):
             assert a.shape == b.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_altfold_a2o_matches_standard(rng):
+    """Aligned->odd alternating-fold conv: the masked odd output, viewed as
+    the flat plane sequence (-1, 0, .., Z), must equal the standard SAME
+    conv on planes 0..Z-1 and zero on the virtual edge planes."""
+    from hybrid_ctunet_tpu.ops.conv import (
+        conv3d_altfold_a2o, fold_z, mask_odd_edges,
+    )
+
+    B, X, Y, Z, C, F_ = 2, 6, 8, 10, 4, 6
+    x = jnp.asarray(rng.standard_normal((B, X, Y, Z, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, C, F_)) * 0.1, jnp.float32)
+    want = conv3d_same(x, w, 1)
+    y_odd = mask_odd_edges(conv3d_altfold_a2o(fold_z(x), w))
+    assert y_odd.shape == (B, X, Y, Z // 2 + 1, 2 * F_)
+    flat = y_odd.reshape(B, X, Y, Z + 2, F_)  # plane i-1 at index i
+    np.testing.assert_allclose(_np(flat[:, :, :, 1 : Z + 1]), _np(want),
+                               atol=1e-5, rtol=1e-5)
+    assert np.all(_np(flat[:, :, :, 0]) == 0)
+    assert np.all(_np(flat[:, :, :, Z + 1]) == 0)
+
+
+def test_altfold_chain_matches_standard(rng):
+    """conv1(a2o) -> folded IN+LeakyReLU (odd count) -> re-mask -> conv2(o2a)
+    must reproduce the standard conv -> IN -> LeakyReLU -> conv chain."""
+    from hybrid_ctunet_tpu.ops.conv import (
+        conv3d_altfold_a2o, conv3d_altfold_o2a, fold_z, mask_odd_edges,
+        unfold_z,
+    )
+    from hybrid_ctunet_tpu.ops.norm import (
+        instance_norm_leaky, instance_norm_leaky_folded,
+    )
+
+    B, X, Y, Z, C, F_ = 1, 5, 7, 12, 4, 4
+    x = jnp.asarray(rng.standard_normal((B, X, Y, Z, C)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, 3, C, F_)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, 3, F_, F_)) * 0.1, jnp.float32)
+
+    want = conv3d_same(instance_norm_leaky(conv3d_same(x, w1, 1)), w2, 1)
+
+    y1 = mask_odd_edges(conv3d_altfold_a2o(fold_z(x), w1))
+    y1 = mask_odd_edges(
+        instance_norm_leaky_folded(y1, count=X * Y * Z)
+    )
+    got = unfold_z(conv3d_altfold_o2a(y1, w2))
+    np.testing.assert_allclose(_np(got), _np(want), atol=1e-4, rtol=1e-4)
+
+
+def test_altfold_resblock_matches_native(rng):
+    """ALTFOLD=1 runs lane-starved stride-1 ResBlocks via the alternating-
+    parity fold; outputs and parameter trees must match the native path for
+    identity, projection, tiny-Cin (gated native), and virtual-concat skip."""
+    import jax
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu import flags
+    from hybrid_ctunet_tpu.models.layers import ResBlock
+
+    cases = [
+        (16, None, 16),   # identity residual
+        (24, None, 16),   # projection shortcut
+        (1, None, 16),    # stem: tiny Cin (a2o handles Cin=1 directly)
+        (8, 8, 16),       # virtual-concat skip + projection
+    ]
+    for cin, cskip, f in cases:
+        x = jnp.asarray(rng.standard_normal((1, 5, 6, 8, cin)), jnp.float32)
+        skip = (jnp.asarray(rng.standard_normal((1, 5, 6, 8, cskip)), jnp.float32)
+                if cskip else None)
+        args = (x,) if skip is None else (x, skip)
+        model = ResBlock(f, 3, 1)
+        with flags.override(ALTFOLD="0"):
+            params = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+            want = model.apply(params, *args)
+        with flags.override(ALTFOLD="1", ALTFOLD_CH=str(f)):
+            params_f = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+            got = model.apply(params, *args)
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_f)
+        for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params_f)):
+            assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
