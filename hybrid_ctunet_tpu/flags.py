@@ -26,6 +26,13 @@ _PREFIX = "HYBRID_CTUNET_"
 _DEFAULTS = {
     # Pallas kernel gates (model code, read per-apply but now process-stable)
     "PALLAS_FFN": ("1", str),
+    # fuse the callers' `x + FFN(x)` residual add into the FFN kernel's
+    # output write. Default OFF: despite saving a full-tensor elementwise
+    # pass on paper, it measures a ~17 ms/chunk LOSS on both models
+    # (tools/ab_flags_model.py: TUNet 157.2 -> 174.5, CTUNet 376.2 -> 394.1)
+    # — XLA evidently overlaps/fuses the external residual add better than
+    # the kernel's extended output dependence chain.
+    "PALLAS_FFN_RES": ("0", str),
     "PALLAS_ATTN": ("1", str),
     "PALLAS_SCATTER": ("1", str),
     "PALLAS_NORM": ("0", str),
@@ -46,6 +53,10 @@ _DEFAULTS = {
     # unlike the per-conv rewrites, no per-conv relayout breaks XLA fusion.
     "ZFOLD": ("1", str),
     "ZFOLD_CH": ("32", int),
+    # fold width: 4 puts the planes=32 stage at 128 lanes (1x1 block-diag /
+    # 3^3 3-fold-span kernels at 4x structured-sparse MACs). Measured
+    # (tools/ab_flags_model.py): CTUNet chunk 376.2 -> 370.1 ms vs factor 2.
+    "ZFOLD_FACTOR": ("4", int),
     # z-folded full-resolution ResBlocks (models/layers.py ResBlock): blocks
     # with features <= ZFOLD_RES_CH and stride 1 run conv1/conv2/projection
     # in the folded layout. Standalone rates win (tools/probe_conv_rates.py:

@@ -41,21 +41,25 @@ class UpAttentionBlock(nn.Module):
                     window=self.window, grid=False, dropout=dr, dtype=self.dtype,
                     name=f"stage{ind}_block_attn",
                 )(x, deterministic=deterministic)
-                x = x + FeedForward(dropout=dr, dtype=self.dtype, name=f"stage{ind}_block_ff")(
+                x = FeedForward(dropout=dr, residual=True, dtype=self.dtype,
+                                name=f"stage{ind}_block_ff")(
                     x, deterministic=deterministic
                 )
                 x = x + MultiAxisWindowAttention(
                     window=self.window, grid=True, dropout=dr, dtype=self.dtype,
                     name=f"stage{ind}_grid_attn",
                 )(x, deterministic=deterministic)
-                x = x + FeedForward(dropout=dr, dtype=self.dtype, name=f"stage{ind}_grid_ff")(
+                x = FeedForward(dropout=dr, residual=True, dtype=self.dtype,
+                                name=f"stage{ind}_grid_ff")(
                     x, deterministic=deterministic
                 )
             else:
-                x = x + FeedForward(dropout=dr, dtype=self.dtype, name=f"stage{ind}_ff1")(
+                x = FeedForward(dropout=dr, residual=True, dtype=self.dtype,
+                                name=f"stage{ind}_ff1")(
                     x, deterministic=deterministic
                 )
-                x = x + FeedForward(dropout=dr, dtype=self.dtype, name=f"stage{ind}_ff2")(
+                x = FeedForward(dropout=dr, residual=True, dtype=self.dtype,
+                                name=f"stage{ind}_ff2")(
                     x, deterministic=deterministic
                 )
             x = PixelShuffleLinear(

@@ -96,11 +96,13 @@ class Conv3d(nn.Module):
                  folded=False, altfold=""):
         k = _triple(self.kernel_size)
         # folded: x is in the z-folded layout (ops/conv.py fold_z) carrying
-        # 2*cin channels; the parameter keeps its UNFOLDED shape (identical
-        # tree/checkpoints) and the folded kernel is built at apply time.
+        # factor*cin channels (True == factor 2, or an int factor); the
+        # parameter keeps its UNFOLDED shape (identical tree/checkpoints)
+        # and the folded kernel is built at apply time.
         # altfold ("a2o"/"o2a"): alternating-parity fold conv — x is the
         # aligned/odd z-fold layout respectively; same unfolded parameter.
-        cin = x.shape[-1] // 2 if (folded or altfold) else x.shape[-1]
+        ff = (2 if folded is True else int(folded)) if folded else 0
+        cin = x.shape[-1] // (ff or 2) if (ff or altfold) else x.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
@@ -113,12 +115,12 @@ class Conv3d(nn.Module):
             fn = conv3d_altfold_a2o if altfold == "a2o" else conv3d_altfold_o2a
             return fn(x.astype(self.dtype), w.astype(self.dtype),
                       preferred_dtype=self.dtype)
-        if folded:
+        if ff:
             assert not self.use_bias and in_affine is None and not emit_stats
             assert _triple(self.stride) == (1, 1, 1)
             return conv3d_folded(
                 x.astype(self.dtype), w.astype(self.dtype),
-                preferred_dtype=self.dtype,
+                preferred_dtype=self.dtype, factor=ff,
             )
         if in_affine is not None or emit_stats:
             # Winograd fused-IN chain (ops/winograd_pallas.py v2): the caller
@@ -228,6 +230,7 @@ class FeedForward(nn.Module):
     mult: float = 4.0
     hidden_dim: int | None = None
     dropout: float = 0.0
+    residual: bool = False  # return x + FFN(x), add fused into the kernel
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -248,16 +251,21 @@ class FeedForward(nn.Module):
             o = jnp.dot(
                 h, w2.astype(self.dtype), preferred_element_type=jnp.float32
             ).astype(self.dtype) + b2.astype(self.dtype)
-            return nn.Dropout(self.dropout, name="drop_out")(o, deterministic=False)
+            o = nn.Dropout(self.dropout, name="drop_out")(o, deterministic=False)
+            return x + o if self.residual else o
         n_rows = int(np.prod(x.shape[:-1]))
         if (
             _pallas_ffn_enabled()
             and ffn_pallas.supports(n_rows, dim, inner, self.dtype)
         ):
-            return ffn_pallas.fused_ffn(
-                x, ln_w, ln_b, w1, b1, w2, b2, dtype=self.dtype
+            in_kernel_res = self.residual and flags.PALLAS_FFN_RES == "1"
+            out = ffn_pallas.fused_ffn(
+                x, ln_w, ln_b, w1, b1, w2, b2, dtype=self.dtype,
+                residual=in_kernel_res,
             )
-        return ffn_pallas.reference_ffn(x, ln_w, ln_b, w1, b1, w2, b2, self.dtype)
+            return x + out if (self.residual and not in_kernel_res) else out
+        out = ffn_pallas.reference_ffn(x, ln_w, ln_b, w1, b1, w2, b2, self.dtype)
+        return x + out if self.residual else out
 
 
 def _rel_pos_indices(window: int) -> np.ndarray:

@@ -46,14 +46,15 @@ class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride) -> 1x1(x4) bottleneck with IN + LeakyReLU
     (reference resnet.py:82-126).
 
-    ``folded=True`` (stride-1 only): the block runs entirely in the z-folded
-    layout (ops/conv.py fold_z — input carries 2*cin channels), doubling the
-    MXU lane width of the lane-starved planes=32 stage. Identical math and
-    parameter tree; the caller folds/unfolds once per stage."""
+    ``folded`` (stride-1 only; an int fold factor, 0/False = off): the block
+    runs entirely in the z-folded layout (ops/conv.py fold_z — input carries
+    factor*cin channels), multiplying the MXU lane width of the lane-starved
+    planes=32 stage. Identical math and parameter tree; the caller
+    folds/unfolds once per stage."""
 
     planes: int
     stride: Sequence[int] | int = 1
-    folded: bool = False
+    folded: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -63,18 +64,19 @@ class Bottleneck(nn.Module):
 
         if self.folded:
             assert stride == (1, 1, 1)
-            cin = x.shape[-1] // 2
-            out = Conv3d(self.planes, 1, 1, dtype=self.dtype, name="conv1")(x, folded=True)
-            out = instance_norm_leaky_folded(out)
-            out = Conv3d(self.planes, 3, 1, dtype=self.dtype, name="conv2")(out, folded=True)
-            out = instance_norm_leaky_folded(out)
-            out = Conv3d(cout, 1, 1, dtype=self.dtype, name="conv3")(out, folded=True)
-            out = instance_norm_folded(out)
+            ff = int(self.folded)
+            cin = x.shape[-1] // ff
+            out = Conv3d(self.planes, 1, 1, dtype=self.dtype, name="conv1")(x, folded=ff)
+            out = instance_norm_leaky_folded(out, factor=ff)
+            out = Conv3d(self.planes, 3, 1, dtype=self.dtype, name="conv2")(out, folded=ff)
+            out = instance_norm_leaky_folded(out, factor=ff)
+            out = Conv3d(cout, 1, 1, dtype=self.dtype, name="conv3")(out, folded=ff)
+            out = instance_norm_folded(out, factor=ff)
             residual = x
             if cin != cout:
                 residual = Conv3d(cout, 1, 1, dtype=self.dtype,
-                                  name="downsample_conv")(x, folded=True)
-                residual = instance_norm_folded(residual)
+                                  name="downsample_conv")(x, folded=ff)
+                residual = instance_norm_folded(residual, factor=ff)
             return leaky_relu(out + residual)
 
         cin = x.shape[-1]
@@ -96,7 +98,7 @@ class _ScanBottleneck(nn.Module):
     """scan-compatible identity-shape bottleneck: (carry, _) -> (carry, None)."""
 
     planes: int
-    folded: bool = False
+    folded: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -145,15 +147,18 @@ class ResNet3D(nn.Module):
             # the planes=32 stage-1) run every block in the z-folded layout —
             # fold/unfold are free contiguous reshapes amortized over the
             # whole stage; 76.4 -> 52.6 ms measured on the 8-block stage-1
-            # chain (tools/probe_folded_stage.py). Identical math and params.
-            folded = (
+            # chain at factor 2 (tools/probe_folded_stage.py). ZFOLD_FACTOR
+            # sets the fold width (4 = 32ch -> 128 lanes at 4x block-diag
+            # MACs). Identical math and params.
+            factor = flags.ZFOLD_FACTOR
+            folded = factor if (
                 flags.ZFOLD == "1"
                 and planes <= flags.ZFOLD_CH
                 and s3 == (1, 1, 1)
-                and h.shape[3] % 2 == 0
-            )
+                and h.shape[3] % factor == 0
+            ) else 0
             if folded:
-                h = fold_z(h)
+                h = fold_z(h, folded)
             h = Bottleneck(
                 planes, stride, folded=folded, dtype=self.dtype,
                 name=f"layer{stage + 1}_block0",
@@ -180,6 +185,6 @@ class ResNet3D(nn.Module):
                         name=f"layer{stage + 1}_block{b}",
                     )(h)
             if folded:
-                h = unfold_z(h)
+                h = unfold_z(h, folded)
             features.append(h)
         return features

@@ -76,8 +76,9 @@ class TransformerBlock(nn.Module):
             self.heads, self.dim_head, dropout=self.dropout, dtype=self.dtype, name="attn"
         )(x, deterministic=deterministic) + x
         x = FeedForward(
-            hidden_dim=self.mlp_dim, dropout=self.dropout, dtype=self.dtype, name="ff"
-        )(x, deterministic=deterministic) + x
+            hidden_dim=self.mlp_dim, dropout=self.dropout, residual=True,
+            dtype=self.dtype, name="ff"
+        )(x, deterministic=deterministic)
         return x
 
 
@@ -99,8 +100,9 @@ class _ScanBlock(nn.Module):
             self.heads, self.dim_head, dropout=self.dropout, dtype=self.dtype, name="attn"
         )(x, deterministic=self.deterministic) + x
         x = FeedForward(
-            hidden_dim=self.mlp_dim, dropout=self.dropout, dtype=self.dtype, name="ff"
-        )(x, deterministic=self.deterministic) + x
+            hidden_dim=self.mlp_dim, dropout=self.dropout, residual=True,
+            dtype=self.dtype, name="ff"
+        )(x, deterministic=self.deterministic)
         return x, None
 
 

@@ -159,21 +159,21 @@ def conv3d_same(
     )
 
 
-def fold_z(x: jax.Array) -> jax.Array:
-    """(B, X, Y, Z, C) -> (B, X, Y, Z/2, 2C): z-pair space-to-depth.
+def fold_z(x: jax.Array, factor: int = 2) -> jax.Array:
+    """(B, X, Y, Z, C) -> (B, X, Y, Z/factor, factor*C): z space-to-depth.
 
     In channels-last memory order this is a contiguous reshape: (Z, C) ->
-    (Z/2, 2, C) -> (Z/2, 2C), so slot s (original z = 2j+s of fold j)
+    (Z/f, f, C) -> (Z/f, f*C), so slot s (original z = f*j+s of fold j)
     occupies folded channels [s*C, (s+1)*C).
     """
     B, X, Y, Z, C = x.shape
-    return x.reshape(B, X, Y, Z // 2, 2 * C)
+    return x.reshape(B, X, Y, Z // factor, factor * C)
 
 
-def unfold_z(x: jax.Array) -> jax.Array:
+def unfold_z(x: jax.Array, factor: int = 2) -> jax.Array:
     """Inverse of :func:`fold_z`."""
-    B, X, Y, Zf, C2 = x.shape
-    return x.reshape(B, X, Y, Zf * 2, C2 // 2)
+    B, X, Y, Zf, Cf = x.shape
+    return x.reshape(B, X, Y, Zf * factor, Cf // factor)
 
 
 def conv3d_folded(
@@ -181,44 +181,47 @@ def conv3d_folded(
     w: jax.Array,
     *,
     preferred_dtype=jnp.float32,
+    factor: int = 2,
 ) -> jax.Array:
     """Stride-1 SAME conv applied entirely in the z-folded layout.
 
-    ``x``: (B, X, Y, Zf, 2C) as produced by :func:`fold_z`; ``w`` is the
-    ORIGINAL unfolded kernel (k, k, k, C, F) with k in {1, 3}. Returns the
-    folded output (B, X, Y, Zf, 2F) — numerically identical to
+    ``x``: (B, X, Y, Zf, factor*C) as produced by :func:`fold_z`; ``w`` is
+    the ORIGINAL unfolded kernel (k, k, k, C, F) with k in {1, 3}. Returns
+    the folded output (B, X, Y, Zf, factor*F) — numerically identical to
     ``fold_z(conv3d_same(unfold_z(x), w, 1))``.
 
     Why: lane-starved convs (min(C, F) = 32 runs ~10.6 TF/s on v5e vs 37-54
     at 64 lanes and 80-140 at 128 — measured, tools/probe_conv_rates.py)
-    double their lane width by carrying the z-pair in channels. The folded
-    3^3 kernel spans 3 folds with 6 of 12 (slot_in, slot_out) blocks live
-    (2x MACs) and the 1x1 kernel becomes block-diagonal (2x MACs), but the
-    lane-rate gain nets ~1.45x on the stage-1 bottleneck chain
-    (tools/probe_folded_stage.py) with zero per-conv relayout — the fold is
+    multiply their lane width by carrying z-slots in channels. The folded
+    3^3 kernel spans 3 folds with 3*factor of 3*factor^2 (slot_in, slot_out)
+    blocks live and the 1x1 kernel becomes block-diagonal (factor x MACs in
+    both cases), but the lane-rate gain nets out on starved widths — stage-1
+    bottleneck chain 76.4 -> 52.6 ms at factor 2
+    (tools/probe_folded_stage.py) with zero per-conv relayout: the fold is
     a free contiguous reshape amortized over a whole ResNet stage.
     Reference workload: networks/resnet.py:97-126 (planes=32 stage).
     """
     k = tuple(w.shape[:3])
     C, F = w.shape[3], w.shape[4]
-    assert x.shape[-1] == 2 * C, (x.shape, w.shape)
+    f = factor
+    assert x.shape[-1] == f * C, (x.shape, w.shape, factor)
     if k == (1, 1, 1):
-        wf = jnp.zeros((1, 1, 1, 2 * C, 2 * F), w.dtype)
-        wf = wf.at[0, 0, 0, :C, :F].set(w[0, 0, 0])
-        wf = wf.at[0, 0, 0, C:, F:].set(w[0, 0, 0])
+        wf = jnp.zeros((1, 1, 1, f * C, f * F), w.dtype)
+        for s in range(f):
+            wf = wf.at[0, 0, 0, s * C : (s + 1) * C, s * F : (s + 1) * F].set(w[0, 0, 0])
         pads = [(0, 0)] * 3
     elif k == (3, 3, 3):
-        # out slot r=0 (z=2q):   z-1 -> fold q-1 slot1; z -> q slot0; z+1 -> q slot1
-        # out slot r=1 (z=2q+1): z-1 -> fold q slot0;   z -> q slot1; z+1 -> q+1 slot0
-        wf = jnp.zeros((3, 3, 3, 2 * C, 2 * F), w.dtype)
-        wf = wf.at[:, :, 0, C:, :F].set(w[:, :, 0])
-        wf = wf.at[:, :, 1, :C, :F].set(w[:, :, 1])
-        wf = wf.at[:, :, 1, C:, :F].set(w[:, :, 2])
-        wf = wf.at[:, :, 1, :C, F:].set(w[:, :, 0])
-        wf = wf.at[:, :, 1, C:, F:].set(w[:, :, 1])
-        wf = wf.at[:, :, 2, :C, F:].set(w[:, :, 2])
-        # fold-dim SAME pad of 1 == z pad of 2, but the taps that could read
-        # the extra z rows (fold -1 slot0, fold Zf slot1) are zero blocks
+        # out slot b (z = f*q + b) reads z+dz = f*(q+kf) + a with
+        # kf = (b+dz) // f, a = (b+dz) % f — one live (kf, a) per (b, dz)
+        wf = jnp.zeros((3, 3, 3, f * C, f * F), w.dtype)
+        for b in range(f):
+            for dz in (-1, 0, 1):
+                kf, a = divmod(b + dz, f)
+                wf = wf.at[
+                    :, :, kf + 1, a * C : (a + 1) * C, b * F : (b + 1) * F
+                ].set(w[:, :, dz + 1])
+        # fold-dim SAME pad of 1 == z pad of f, but the taps that could read
+        # the extra z rows (beyond z=-1/z=Z) are zero blocks
         pads = [(1, 1)] * 3
     else:
         raise ValueError(f"conv3d_folded supports 1^3 and 3^3 kernels, got {k}")

@@ -59,7 +59,8 @@ _H_CHUNK = 256  # hidden-dim streaming chunk: bounds fp32 GELU temps to
 # (tn, 256) regardless of the hidden width, so the row tile can grow
 
 
-def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, dtype):
+def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
+            dtype, residual):
     xf = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
@@ -81,7 +82,13 @@ def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
             h, w2_ref[j : j + ck, :].astype(dtype), preferred_element_type=jnp.float32
         )
         acc = p if acc is None else acc + p
-    out_ref[:] = acc.astype(dtype) + b2_ref[0].astype(dtype)
+    out = acc.astype(dtype) + b2_ref[0].astype(dtype)
+    if residual:
+        # the callers' `x + FFN(x)` residual rides the kernel's output write
+        # instead of a separate full-tensor elementwise pass around the
+        # opaque pallas_call (bf16 add, same as the XLA residual add)
+        out = out + x_ref[:]
+    out_ref[:] = out
 
 
 def _row_tile(c: int, h: int) -> int:
@@ -96,7 +103,7 @@ def _row_tile(c: int, h: int) -> int:
     return 1024
 
 
-def _fused_ffn_impl(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret):
+def _fused_ffn_impl(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret, residual):
     n, c = x2d.shape
     h = w1.shape[1]
     tn = _row_tile(c, h)
@@ -104,7 +111,7 @@ def _fused_ffn_impl(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret):
     xp = jnp.pad(x2d, ((0, n_pad - n), (0, 0)))
     vec = lambda v: v.reshape(1, -1)
     out = pl.pallas_call(
-        functools.partial(_kernel, dtype=dtype),
+        functools.partial(_kernel, dtype=dtype, residual=residual),
         grid=(n_pad // tn,),
         in_specs=[
             pl.BlockSpec((tn, c), lambda i: (i, 0)),
@@ -122,20 +129,24 @@ def _fused_ffn_impl(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret):
     return out[:n]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _fused_ffn(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret):
-    return _fused_ffn_impl(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _fused_ffn(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret, residual):
+    return _fused_ffn_impl(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret, residual)
 
 
-def _fwd(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret):
-    return _fused_ffn(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret), (
+def _fwd(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret, residual):
+    return _fused_ffn(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret, residual), (
         x2d, ln_w, ln_b, w1, b1, w2, b2,
     )
 
 
-def _bwd(dtype, interpret, res, g):
+def _bwd(dtype, interpret, residual, res, g):
     # recompute through the reference path: training numerics unchanged
-    _, vjp = jax.vjp(lambda *a: reference_ffn(*a, dtype), *res)
+    def ref(*a):
+        out = reference_ffn(*a, dtype)
+        return a[0] + out if residual else out
+
+    _, vjp = jax.vjp(ref, *res)
     return vjp(g)
 
 
@@ -157,10 +168,13 @@ def supports(n_rows: int, c: int, hidden: int, dtype) -> bool:
     )
 
 
-def fused_ffn(x, ln_w, ln_b, w1, b1, w2, b2, *, dtype, interpret=False):
+def fused_ffn(x, ln_w, ln_b, w1, b1, w2, b2, *, dtype, interpret=False,
+              residual=False):
     """x: (..., C) -> (..., C); parameters as stored by FeedForward
-    (fp32 leaves; cast inside, matching models/layers.py)."""
+    (fp32 leaves; cast inside, matching models/layers.py). With
+    ``residual=True`` returns ``x + FFN(x)`` with the add fused into the
+    kernel's output write."""
     shape = x.shape
     x2d = x.reshape(-1, shape[-1])
-    out = _fused_ffn(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret)
+    out = _fused_ffn(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret, residual)
     return out.reshape(shape)

@@ -57,7 +57,8 @@ def instance_norm_leaky(x: jax.Array, eps: float = 1e-5, negative_slope: float =
     return leaky_relu(instance_norm(x, eps), negative_slope)
 
 
-def instance_norm_folded(x: jax.Array, eps: float = 1e-5, *, count: int | None = None) -> jax.Array:
+def instance_norm_folded(x: jax.Array, eps: float = 1e-5, *, count: int | None = None,
+                         factor: int = 2) -> jax.Array:
     """Instance norm applied in the z-folded layout (ops/conv.py fold_z).
 
     ``x``: (B, X, Y, Zf, 2C) where folded channels [0, C) and [C, 2C) are the
@@ -69,29 +70,33 @@ def instance_norm_folded(x: jax.Array, eps: float = 1e-5, *, count: int | None =
     ``count``: override the valid element count per (batch, channel) — used
     by the ODD alternating-fold layout (ops/conv.py conv3d_altfold_a2o),
     whose edge half-slots are zeroed garbage: they contribute 0 to both sums
-    but must not inflate the divisor."""
+    but must not inflate the divisor.
+
+    ``factor``: the z-fold factor (channel dim = factor*C)."""
     xf = x.astype(jnp.float32)
-    C2 = x.shape[-1]
-    C = C2 // 2
-    n = count if count is not None else 2 * x.shape[1] * x.shape[2] * x.shape[3]
-    s1 = jnp.sum(xf, axis=(1, 2, 3))  # (B, 2C)
-    s2 = jnp.sum(jnp.square(xf), axis=(1, 2, 3))
-    mean = (s1[:, :C] + s1[:, C:]) / n
-    var = jnp.maximum((s2[:, :C] + s2[:, C:]) / n - jnp.square(mean), 0.0)
+    Cf = x.shape[-1]
+    C = Cf // factor
+    n = count if count is not None else factor * x.shape[1] * x.shape[2] * x.shape[3]
+    s1 = jnp.sum(xf, axis=(1, 2, 3)).reshape(-1, factor, C)  # (B, f, C)
+    s2 = jnp.sum(jnp.square(xf), axis=(1, 2, 3)).reshape(-1, factor, C)
+    mean = s1.sum(1) / n
+    var = jnp.maximum(s2.sum(1) / n - jnp.square(mean), 0.0)
     scale = jax.lax.rsqrt(var + eps)
-    mean2 = jnp.tile(mean, 2)[:, None, None, None, :]
-    scale2 = jnp.tile(scale, 2)[:, None, None, None, :]
+    mean2 = jnp.tile(mean, factor)[:, None, None, None, :]
+    scale2 = jnp.tile(scale, factor)[:, None, None, None, :]
     return ((xf - mean2) * scale2).astype(x.dtype)
 
 
 def instance_norm_leaky_folded(
     x: jax.Array, eps: float = 1e-5, negative_slope: float = 0.01,
-    *, count: int | None = None,
+    *, count: int | None = None, factor: int = 2,
 ) -> jax.Array:
     """Folded-layout IN + LeakyReLU (conv-path epilogue in folded stages)."""
     from .act import leaky_relu
 
-    return leaky_relu(instance_norm_folded(x, eps, count=count), negative_slope)
+    return leaky_relu(
+        instance_norm_folded(x, eps, count=count, factor=factor), negative_slope
+    )
 
 
 def stats_to_affine(s1: jax.Array, s2: jax.Array, n: int, eps: float = 1e-5):

@@ -353,3 +353,44 @@ def test_altfold_resblock_matches_native(rng):
             assert a.shape == b.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_conv3d_folded_factor4_matches_native(rng):
+    """Factor-4 z-fold conv (1^3 block-diag and 3^3 3-fold-span kernels) must
+    equal the native conv, and the factor-4 folded IN must equal plain IN."""
+    from hybrid_ctunet_tpu.ops.conv import conv3d_folded, conv3d_same, fold_z, unfold_z
+    from hybrid_ctunet_tpu.ops.norm import instance_norm, instance_norm_folded
+
+    B, X, Y, Z, C, F_ = 2, 5, 6, 8, 3, 5
+    x = jnp.asarray(rng.standard_normal((B, X, Y, Z, C)), jnp.float32)
+    for k in (1, 3):
+        w = jnp.asarray(rng.standard_normal((k, k, k, C, F_)) * 0.1, jnp.float32)
+        want = conv3d_same(x, w, 1)
+        got = unfold_z(conv3d_folded(fold_z(x, 4), w, factor=4), 4)
+        np.testing.assert_allclose(_np(got), _np(want), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        _np(unfold_z(instance_norm_folded(fold_z(x, 4), factor=4), 4)),
+        _np(instance_norm(x)), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("factor", ["2", "4"])
+def test_resnet_stage_fold_factor_matches(rng, factor):
+    """ZFOLD_FACTOR in {2,4} must leave ResNet3D outputs unchanged up to
+    fp32 reassociation (the folded conv sums channel blocks in a different
+    order; the stage-1 IN chain amplifies the ~1-ulp conv deltas)."""
+    import jax
+    from hybrid_ctunet_tpu import flags
+    from hybrid_ctunet_tpu.models.resnet3d import ResNet3D
+
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 8, 1)), jnp.float32)
+    model = ResNet3D(50, scan_blocks=False)
+    with flags.override(ZFOLD="0"):
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        want = model.apply(params, x)
+    with flags.override(ZFOLD="1", ZFOLD_FACTOR=factor):
+        got = model.apply(params, x)
+    # same tolerance note as test_folded_resnet_stage_matches_native: deep
+    # IN chains (stage-2's 8-voxel variance) amplify conv reduction-order
+    # ulps to ~6e-4 on a handful of elements
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(_np(g), _np(w_), atol=1e-3, rtol=1e-3)
