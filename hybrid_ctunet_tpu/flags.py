@@ -41,6 +41,11 @@ _DEFAULTS = {
     # wins)
     "VIRTUAL_CONCAT": ("1", str),
     "SHUFFLE_BD": ("0", str),
+    # PixelShuffle as a native strided transposed conv (one live channel
+    # block per tap). Default OFF: despite killing the 8-D transpose's
+    # layout copies on paper, it measures a ~5.5 ms/chunk LOSS
+    # (tools/ab_flags_model.py: TUNet 157.3 -> 162.7, CTUNet 369.9 -> 375.8).
+    "SHUFFLE_CT": ("0", str),
     "CIN1_MUL": ("1", str),
     "CIN1_S2D": ("0", str),
     "ZPAIR": ("0", str),
@@ -83,6 +88,17 @@ _DEFAULTS = {
     # (standalone chain A/B: C=64 1.31x, C=32 2.85x; C=128 loses, gated).
     "ALTFOLD": ("1", str),
     "ALTFOLD_CH": ("64", int),
+    # sub-variants of the altfold block (A/B gates; see ResBlock):
+    # MASKF: fuse the odd edge mask into the IN reduce+normalize passes —
+    # measures NEUTRAL (XLA already fused the standalone mask multiplies);
+    # kept on as the fewer-ops form.
+    # PROJSTD: run the 1x1 projection in standard layout. Measures a 40
+    # ms/chunk LOSS (tools/ab_flags_model.py: TUNet 157 -> 198): consuming x
+    # in both the standard and folded layouts forces XLA to materialize an
+    # input relayout that dwarfs the block-diagonal projection's 2x MACs.
+    # Default OFF.
+    "ALTFOLD_MASKF": ("1", str),
+    "ALTFOLD_PROJSTD": ("0", str),
     # Winograd F(2,3)^3 Pallas conv. Default OFF: block-level A/B on v5e
     # shows XLA's fused conv+IN+LeakyReLU pattern wins at every site the
     # flagship pf8 models actually have — C=64 96^3 ResBlock 42.2 -> 56.3 ms
@@ -101,6 +117,7 @@ _DEFAULTS = {
     # kernel tile knobs
     "ATTN_TB": ("4", int),
     "FFN_TN": ("", str),  # "" = auto-pick per shape
+    "FFN_HK": ("256", int),  # hidden-dim streaming chunk in the FFN kernel
 }
 
 

@@ -35,6 +35,7 @@ from ..ops.conv import (
     conv_transpose3d_same,
     fold_z,
     mask_odd_edges,
+    odd_edge_mask,
     unfold_z,
 )
 from ..ops.norm import (
@@ -394,6 +395,34 @@ class PixelShuffleLinear(nn.Module):
         # regresses 9.71 -> 9.31 vol/min (the fourth standalone-vs-in-model
         # reversal: XLA fuses the small Dense + shuffle permutes into their
         # neighbors). Default off; kept for study with an equivalence test.
+        if flags.SHUFFLE_CT == "1" and div > 1:
+            # native strided transposed-conv formulation: kernel (f0,f1,f2)
+            # with one live channel block per tap — XLA's transposed-conv
+            # emitter produces the interleaved output directly in the
+            # channels-minor layout consumers want, avoiding the 8-D
+            # transpose + the layout copies it forces (device trace: ~14
+            # ms/chunk of `copy` ops around stage3_shuffle/decoder0).
+            # Identical math and parameter tree.
+            w, b = _DenseBiasParams((cp, self.features), name="to_out")()
+            wt = jnp.zeros((f0, f1, f2, C, self.features), self.dtype)
+            idx = jnp.arange(cp)
+            for i in range(f0):
+                for j in range(f1):
+                    for k in range(f2):
+                        ch = ((idx * f0 + i) * f1 + j) * f2 + k
+                        wt = wt.at[i, j, k, ch, :].set(w.astype(self.dtype))
+            from jax import lax as _lax
+
+            pads = [(fi - 1, fi - 1) for fi in (f0, f1, f2)]
+            dn = _lax.conv_dimension_numbers(
+                x.shape, (f0, f1, f2, self.features, C), ("NDHWC", "DHWIO", "NDHWC")
+            )
+            y = _lax.conv_transpose(
+                x.astype(self.dtype), jnp.swapaxes(wt, -1, -2), (f0, f1, f2), pads,
+                dimension_numbers=dn, transpose_kernel=True,
+                preferred_element_type=self.dtype,
+            )
+            return y + b.astype(self.dtype)
         if flags.SHUFFLE_BD == "1" and div > 1:
             w, b = _DenseBiasParams((cp, self.features), name="to_out")()
             F = self.features
@@ -615,19 +644,36 @@ class ResBlock(nn.Module):
             else:
                 y1 = _SplitInputConv3d(f, 3, 1, dtype=self.dtype,
                                        name="conv1")(xf, sf, altfold="a2o")
-            # mask the garbage edge half-slots before stats, and again after
-            # the affine (they stand in for conv2's z zero-padding)
-            y1 = mask_odd_edges(y1)
-            y1 = mask_odd_edges(instance_norm_leaky_folded(y1, count=n_vox))
+            # the garbage edge half-slots (standing in for conv2's z
+            # zero-padding) are zeroed either by standalone mask passes or
+            # by a mask fused into the IN's reduce+normalize (A/B gate)
+            if flags.ALTFOLD_MASKF == "1":
+                emask = odd_edge_mask(y1.shape[3], y1.shape[4], jnp.float32)[None, None, None]
+                y1 = instance_norm_leaky_folded(y1, count=n_vox, mask=emask)
+            else:
+                y1 = mask_odd_edges(y1)
+                y1 = mask_odd_edges(instance_norm_leaky_folded(y1, count=n_vox))
             out = Conv3d(f, 3, 1, dtype=self.dtype, name="conv2")(y1, altfold="o2a")
             out = instance_norm_folded(out)
             if needs_proj:
-                if skip is None:
-                    residual = Conv3d(f, 1, 1, dtype=self.dtype, name="conv3")(xf, folded=True)
+                if flags.ALTFOLD_PROJSTD == "1":
+                    # 1x1 projection in STANDARD layout (the folded
+                    # block-diagonal runs 2x MACs at 24-42 TF/s in the
+                    # device trace); its aligned-fold output is a free view.
+                    if skip is None:
+                        residual = Conv3d(f, 1, 1, dtype=self.dtype, name="conv3")(x)
+                    else:
+                        residual = _SplitInputConv3d(f, 1, 1, dtype=self.dtype,
+                                                     name="conv3")(x, skip)
+                    residual = fold_z(instance_norm(residual))
                 else:
-                    residual = _SplitInputConv3d(f, 1, 1, dtype=self.dtype,
-                                                 name="conv3")(xf, sf, folded=True)
-                residual = instance_norm_folded(residual)
+                    if skip is None:
+                        residual = Conv3d(f, 1, 1, dtype=self.dtype,
+                                          name="conv3")(xf, folded=True)
+                    else:
+                        residual = _SplitInputConv3d(f, 1, 1, dtype=self.dtype,
+                                                     name="conv3")(xf, sf, folded=True)
+                    residual = instance_norm_folded(residual)
             else:
                 residual = xf
             return unfold_z(leaky_relu(out + residual))

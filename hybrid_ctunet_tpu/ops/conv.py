@@ -296,17 +296,23 @@ def conv3d_altfold_o2a(y_odd: jax.Array, w: jax.Array, *, preferred_dtype=jnp.fl
     )
 
 
+def odd_edge_mask(zf1: int, c2: int, dtype=jnp.float32) -> jax.Array:
+    """(Zf+1, 2C) multiplier zeroing an odd-layout tensor's two garbage edge
+    half-slots: slot 0's first channel half (virtual plane -1) and the last
+    slot's second half (virtual plane Z)."""
+    c = c2 // 2
+    mask = jnp.ones((zf1, c2), dtype)
+    mask = mask.at[0, :c].set(0)
+    return mask.at[zf1 - 1, c:].set(0)
+
+
 def mask_odd_edges(y_odd: jax.Array) -> jax.Array:
-    """Zero the two garbage edge half-slots of an odd-layout tensor: slot 0's
-    first channel half (virtual plane -1) and the last slot's second half
-    (virtual plane Z). One broadcast multiply — fuses into the surrounding
-    elementwise epilogue."""
+    """Zero the garbage edge half-slots (see :func:`odd_edge_mask`). One
+    broadcast multiply — fuses into the surrounding elementwise epilogue.
+    Prefer passing ``mask=odd_edge_mask(...)`` to the folded instance norms,
+    which fuses the multiply into their reduce/normalize passes instead."""
     Zf1, C2 = y_odd.shape[3], y_odd.shape[4]
-    C = C2 // 2
-    mask = jnp.ones((Zf1, C2), y_odd.dtype)
-    mask = mask.at[0, :C].set(0)
-    mask = mask.at[Zf1 - 1, C:].set(0)
-    return y_odd * mask[None, None, None]
+    return y_odd * odd_edge_mask(Zf1, C2, y_odd.dtype)[None, None, None]
 
 
 def _zpair_conv(x, w, preferred_dtype):

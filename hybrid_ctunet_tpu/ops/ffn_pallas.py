@@ -55,8 +55,12 @@ def _erf32(x):
     return s * (1.0 - poly * jnp.exp(-a * a))
 
 
-_H_CHUNK = 256  # hidden-dim streaming chunk: bounds fp32 GELU temps to
-# (tn, 256) regardless of the hidden width, so the row tile can grow
+def _h_chunk() -> int:
+    # hidden-dim streaming chunk: bounds fp32 GELU temps to (tn, chunk)
+    # regardless of the hidden width, so the row tile can grow
+    from .. import flags
+
+    return flags.FFN_HK
 
 
 def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
@@ -67,7 +71,7 @@ def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
     y = (xf - mean) * jax.lax.rsqrt(var + _LN_EPS)
     y = (y * lnw_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)).astype(dtype)
     hidden = w1_ref.shape[1]
-    ck = min(_H_CHUNK, hidden)
+    ck = min(_h_chunk(), hidden)
     acc = None
     for j in range(0, hidden, ck):  # static unroll; split-K accumulation
         h = jnp.dot(

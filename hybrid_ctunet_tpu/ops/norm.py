@@ -58,7 +58,7 @@ def instance_norm_leaky(x: jax.Array, eps: float = 1e-5, negative_slope: float =
 
 
 def instance_norm_folded(x: jax.Array, eps: float = 1e-5, *, count: int | None = None,
-                         factor: int = 2) -> jax.Array:
+                         factor: int = 2, mask: jax.Array | None = None) -> jax.Array:
     """Instance norm applied in the z-folded layout (ops/conv.py fold_z).
 
     ``x``: (B, X, Y, Zf, 2C) where folded channels [0, C) and [C, 2C) are the
@@ -72,8 +72,17 @@ def instance_norm_folded(x: jax.Array, eps: float = 1e-5, *, count: int | None =
     whose edge half-slots are zeroed garbage: they contribute 0 to both sums
     but must not inflate the divisor.
 
-    ``factor``: the z-fold factor (channel dim = factor*C)."""
+    ``factor``: the z-fold factor (channel dim = factor*C).
+
+    ``mask``: optional broadcastable multiplier applied to x inside BOTH the
+    statistics reduction and the output pass (used by the odd altfold layout
+    to zero its garbage edge half-slots). Because the multiply is expressed
+    inside each consumer, XLA fuses it into the reduce and the normalize
+    fusions — no standalone masking pass ever touches HBM, unlike a separate
+    ``mask_odd_edges`` call before/after the norm."""
     xf = x.astype(jnp.float32)
+    if mask is not None:
+        xf = xf * mask
     Cf = x.shape[-1]
     C = Cf // factor
     n = count if count is not None else factor * x.shape[1] * x.shape[2] * x.shape[3]
@@ -84,18 +93,25 @@ def instance_norm_folded(x: jax.Array, eps: float = 1e-5, *, count: int | None =
     scale = jax.lax.rsqrt(var + eps)
     mean2 = jnp.tile(mean, factor)[:, None, None, None, :]
     scale2 = jnp.tile(scale, factor)[:, None, None, None, :]
-    return ((xf - mean2) * scale2).astype(x.dtype)
+    out = (xf - mean2) * scale2
+    if mask is not None:
+        # re-zero the masked slots (the affine shifts them off zero); the
+        # multiply rides the same output fusion
+        out = out * mask
+    return out.astype(x.dtype)
 
 
 def instance_norm_leaky_folded(
     x: jax.Array, eps: float = 1e-5, negative_slope: float = 0.01,
-    *, count: int | None = None, factor: int = 2,
+    *, count: int | None = None, factor: int = 2, mask: jax.Array | None = None,
 ) -> jax.Array:
-    """Folded-layout IN + LeakyReLU (conv-path epilogue in folded stages)."""
+    """Folded-layout IN + LeakyReLU (conv-path epilogue in folded stages).
+    With ``mask``, LeakyReLU(0) == 0 keeps masked slots zero."""
     from .act import leaky_relu
 
     return leaky_relu(
-        instance_norm_folded(x, eps, count=count, factor=factor), negative_slope
+        instance_norm_folded(x, eps, count=count, factor=factor, mask=mask),
+        negative_slope,
     )
 
 

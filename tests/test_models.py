@@ -128,3 +128,27 @@ def test_pixelshuffle_blockdiag_matches_default(rng):
             y1 = mod.apply(params, x)
         y0 = mod.apply(params, x)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=5e-6, rtol=1e-5)
+
+
+def test_pixelshuffle_conv_transpose_path_matches(rng):
+    """SHUFFLE_CT=1 (native strided transposed-conv formulation) must equal
+    the reshape/transpose path exactly, same parameter tree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from hybrid_ctunet_tpu import flags
+    from hybrid_ctunet_tpu.models.layers import PixelShuffleLinear
+
+    for factor in [(2, 2, 1), (2, 2, 2)]:
+        div = factor[0] * factor[1] * factor[2]
+        x = jnp.asarray(rng.standard_normal((2, 4, 5, 6, 8 * div)), jnp.float32)
+        mod = PixelShuffleLinear(factor, 7)
+        with flags.override(SHUFFLE_CT="0"):
+            params = jax.jit(mod.init)(jax.random.PRNGKey(0), x)
+            want = mod.apply(params, x)
+        with flags.override(SHUFFLE_CT="1"):
+            params_c = jax.jit(mod.init)(jax.random.PRNGKey(0), x)
+            got = mod.apply(params, x)
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_c)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-5)

@@ -22,28 +22,47 @@ DT = jnp.bfloat16
 TRACE_DIR = "/tmp/jax_trace_chunk"
 
 
-def summarize(trace_dir: str, top: int = 40):
-    """Parse the xplane.pb and aggregate device-op durations."""
-    from xprof.convert import _xplane_to_tools_data as conv  # noqa: PLC2701
+def summarize(trace_dir: str, top: int = 45):
+    """Parse the xplane.pb and aggregate device-op durations (hlo_stats)."""
+    from xprof.convert import raw_to_tool_data
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
     if not paths:
         print("no xplane.pb found", file=sys.stderr)
         return
-    data, _ = conv.xspace_to_tool_data([max(paths, key=os.path.getmtime)],
-                                       "framework_op_stats", {})
-    import csv
-    import io
+    data, _ = raw_to_tool_data.xspace_to_tool_data(
+        [max(paths, key=os.path.getmtime)], "hlo_stats", {}
+    )
+    import json
 
-    rows = list(csv.DictReader(io.StringIO(data.decode() if isinstance(data, bytes) else data)))
-    rows = [r for r in rows if r.get("host_or_device") == "Device"]
-    rows.sort(key=lambda r: -float(r.get("total_self_time_us") or 0))
-    total = sum(float(r.get("total_self_time_us") or 0) for r in rows)
-    print(f"total device self time: {total / 1e3:.2f} ms")
+    text = data.decode() if isinstance(data, bytes) else data
+    tbl = json.loads(text)
+    ids = [c["id"] for c in tbl["cols"]]
+    rows = [dict(zip(ids, [cell["v"] if cell else None for cell in r["c"]]))
+            for r in tbl["rows"]]
+    tkey = "total_self_time"  # microseconds
+    iters = 3
+    rows.sort(key=lambda r: -float(r.get(tkey) or 0))
+    total = sum(float(r.get(tkey) or 0) for r in rows)
+    print(f"device self time per iteration: {total / 1e3 / iters:.2f} ms")
+    by_cat = {}
+    for r in rows:
+        by_cat[r.get("category") or "?"] = by_cat.get(r.get("category") or "?", 0) + float(
+            r.get(tkey) or 0
+        )
+    for c, t in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        print(f"  category {c:28s} {t / 1e3 / iters:8.2f} ms  {100 * t / total:5.1f}%")
+    print()
     for r in rows[:top]:
-        t = float(r.get("total_self_time_us") or 0)
-        print(f"{t / 1e3:9.3f} ms  {100 * t / total:5.1f}%  "
-              f"{r.get('occurrences', '?'):>5}x  {r.get('operation', r.get('op_name', '?'))[:90]}")
+        t = float(r.get(tkey) or 0) / iters
+        op = (r.get("tf_op_name") or "?").replace("jit(step)/", "")
+        bw = r.get("bound_by") or "?"
+        fr = float(r.get("model_flop_rate") or 0) / 1e3
+        mb = float(r.get("measured_memory_bw") or 0)
+        print(f"{t / 1e3:8.3f} ms {100 * float(r.get(tkey) or 0) / total:5.1f}% "
+              f"{int(float(r.get('occurrences') or 0)) // iters:>3}x "
+              f"[{(r.get('category') or '?')[:14]:14s}] {bw[:7]:7s} "
+              f"{fr:6.1f}TF {mb:6.0f}GB/s  {op[:80]}")
 
 
 def main():
