@@ -49,6 +49,15 @@ _DEFAULTS = {
     "CIN1_MUL": ("1", str),
     "CIN1_S2D": ("0", str),
     "ZPAIR": ("0", str),
+    # kernel==stride transposed convs: "1" uses XLA's native conv_transpose
+    # instead of the einsum + 8-D interleave transpose (the interleave's
+    # layout copies cost ~7 ms around res_decoder0 in the device trace).
+    # Measured: CTUNet chunk 370.0 -> 368.0 ms, TUNet neutral.
+    "TRANSP_NATIVE": ("1", str),
+    # ResNet stem: additionally fold z by 4 (aligned output quads) on top of
+    # the 2x2 xy space-to-depth — Cin 4 -> 16, Cout 64 -> 256; 13.6 -> 4.3
+    # ms standalone (tools/probe_stem.py)
+    "STEM_Z4": ("1", str),
     "ZPAIR_MAX_COUT": ("64", int),
     # whole-stage z-folded ResNet bottlenecks (ops/conv.py conv3d_folded):
     # stages whose planes <= ZFOLD_CH run every block in the z-folded layout

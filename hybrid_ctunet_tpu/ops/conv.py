@@ -139,6 +139,11 @@ def conv3d_same(
         # axes: the conv becomes stride-1 over Cin=4 with a (4,4,kz) kernel
         # whose taps are the parity classes of the original 7-tap kernel.
         # Identical numerics (taps are rearranged, never approximated).
+        # With Z % 4 == 0 the z axis folds by 4 as well (aligned output
+        # quads, Cin 16 / Cout 4x): 13.6 -> 4.3 ms measured
+        # (tools/probe_stem.py).
+        if flags.STEM_Z4 == "1" and x.shape[3] % 4 == 0:
+            return _stem_s2d_zfold4_conv(x, w, p, preferred_dtype)
         return _stem_s2d_conv(x, w, p, preferred_dtype)
     if flags.WINOGRAD == "1" and w.shape[3] >= 2:
         from . import winograd_pallas
@@ -363,6 +368,56 @@ def _cin1_s2dz_conv(x, w, preferred_dtype):
     return out.reshape(B, X, Y, Z, cout)
 
 
+def _stem_s2d_zfold4_conv(x, w, p, preferred_dtype):
+    """conv(x, w, stride=(2,2,1), SAME) with Cin=1, kx=ky=7, via 2x2 xy
+    space-to-depth PLUS a factor-4 z fold with aligned output quads: the
+    conv becomes (4, 4, 3) over Cin=16 producing Cout=4*cout (the z-quad as
+    channel blocks) — 13.6 -> 4.3 ms on the v5e stem shape
+    (tools/probe_stem.py; the xy-only rewrite is Cin=4 lane-starved).
+    Output quad q holds planes (4q..4q+3); plane 4q+b reads padded
+    z'' = 4(q+kf)+a at tap dz = 4kf + a - b (live iff 0 <= dz < kz).
+    Taps rearranged exactly, never approximated. Requires Z % 4 == 0."""
+    B, X, Y, Z, _ = x.shape
+    kz = w.shape[2]
+    cout = w.shape[4]
+    pz = p[2]
+    zp = Z + 2 * pz
+    pad4 = (-zp) % 4
+    xp = jnp.pad(
+        x, ((0, 0), (3, 3 + (X % 2)), (3, 3 + (Y % 2)), (pz, pz + pad4), (0, 0))
+    )
+    Xp, Yp, Zp = xp.shape[1], xp.shape[2], xp.shape[3]
+    xs = xp.reshape(B, Xp // 2, 2, Yp // 2, 2, Zp, 1)
+    xs = xs.transpose(0, 1, 3, 5, 2, 4, 6).reshape(B, Xp // 2, Yp // 2, Zp, 4)
+    xs = xs.reshape(B, Xp // 2, Yp // 2, Zp // 4, 16)  # free z fold
+    kzf = (3 + kz - 1) // 4 + 1
+    wk = jnp.zeros((4, 4, kzf, 16, 4 * cout), w.dtype)
+    for rx in (0, 1):
+        n_ex = 4 if rx == 0 else 3
+        for ry in (0, 1):
+            n_ey = 4 if ry == 0 else 3
+            cxy = rx * 2 + ry
+            for kf in range(kzf):
+                for a in range(4):
+                    for b in range(4):
+                        dz = 4 * kf + a - b
+                        if 0 <= dz < kz:
+                            wk = wk.at[
+                                :n_ex, :n_ey, kf, a * 4 + cxy,
+                                b * cout : (b + 1) * cout,
+                            ].set(w[rx::2, ry::2, dz, 0, :])
+    dn = _DN(xs.shape, wk.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    out = lax.conv_general_dilated(
+        xs, wk, (1, 1, 1), "VALID", dimension_numbers=dn,
+        preferred_element_type=preferred_dtype,
+    )  # (B, ox', oy', Z/4, 4*cout)
+    ox = (X - 1) // 2 + 1
+    oy = (Y - 1) // 2 + 1
+    out = out[:, :ox, :oy]
+    # unfold the quad blocks back to planes (free contiguous reshape)
+    return out.reshape(B, ox, oy, Z, cout)
+
+
 def _stem_s2d_conv(x, w, p, preferred_dtype):
     """conv(x, w, stride=(2,2,1), SAME) with Cin=1, kx=ky=7, via 2x2
     space-to-depth. p = same_padding((7,7,kz),(2,2,1)) = (3,3,pz)."""
@@ -422,7 +477,7 @@ def conv_transpose3d_same(
     B, X, Y, Z, Cin = x.shape
     Cout = w.shape[-1]
 
-    if tuple(k) == tuple(s):
+    if tuple(k) == tuple(s) and flags.TRANSP_NATIVE != "1":
         # out[b, x*s0+d0, y*s1+d1, z*s2+d2, co] = sum_ci x[b,x,y,z,ci] * w[d0,d1,d2,ci,co]
         w2 = w.reshape(k[0] * k[1] * k[2] * Cin, Cout).reshape(k[0], k[1], k[2], Cin, Cout)
         y = jnp.einsum(

@@ -394,3 +394,27 @@ def test_resnet_stage_fold_factor_matches(rng, factor):
     # ulps to ~6e-4 on a handful of elements
     for g, w_ in zip(got, want):
         np.testing.assert_allclose(_np(g), _np(w_), atol=1e-3, rtol=1e-3)
+
+
+def test_stem_zfold4_matches_native_conv(rng):
+    """The z-fold4 stem rewrite (STEM_Z4) must equal the native conv path
+    exactly for kz in {7, 5, 3, 1} and odd/even xy sizes (Z % 4 == 0)."""
+    import jax.numpy as jnp
+    from jax import lax
+    from hybrid_ctunet_tpu import flags
+    from hybrid_ctunet_tpu.ops.conv import conv3d_same, same_padding
+
+    for kz in (7, 5, 3, 1):
+        for shape in [(1, 20, 20, 12, 1), (1, 18, 22, 8, 1)]:
+            x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+            w = jnp.asarray(rng.standard_normal((7, 7, kz, 1, 8)) * 0.1, jnp.float32)
+            p = same_padding((7, 7, kz), (2, 2, 1))
+            dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
+            want = lax.conv_general_dilated(x, w, (2, 2, 1), [(pi, pi) for pi in p],
+                                            dimension_numbers=dn,
+                                            preferred_element_type=jnp.float32)
+            with flags.override(STEM_Z4="1"):
+                out = conv3d_same(x, w, (2, 2, 1))
+            assert out.shape == want.shape, (kz, shape, out.shape, want.shape)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                       atol=5e-5, rtol=1e-5)
