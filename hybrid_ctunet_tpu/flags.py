@@ -127,6 +127,11 @@ _DEFAULTS = {
     "ATTN_TB": ("4", int),
     "FFN_TN": ("", str),  # "" = auto-pick per shape
     "FFN_HK": ("256", int),  # hidden-dim streaming chunk in the FFN kernel
+    # in-kernel erf: "as26" (exp-based, err 4.4e-7) | "r16" (no exp, 1.6e-6).
+    # Measured NEUTRAL end-to-end (ab_flags_model: 157.4/356.7 vs
+    # 157.3/356.3) — Mosaic hides the exp under the MXU dots; default stays
+    # on the tighter polynomial.
+    "FFN_ERF": ("as26", str),
 }
 
 

@@ -43,10 +43,29 @@ def reference_ffn(x, ln_w, ln_b, w1, b1, w2, b2, dtype):
 
 
 def _erf32(x):
-    """fp32 erf via Abramowitz-Stegun 7.1.26 (max abs err 1.5e-7 — an order
-    below bf16 resolution). Mosaic has no erf/erfc primitive."""
+    """fp32 erf. Mosaic has no erf/erfc primitive; two polynomial routes:
+
+    - "as26" (default-off): Abramowitz-Stegun 7.1.26, max abs err 1.5e-7 —
+      needs one exp (multi-instruction on the VPU).
+    - "r16": A&S 7.1.28 rational form erf(x) = 1 - (1 + a1 x + .. a6 x^6)^-16,
+      max abs err 3e-7 — no exp: 6 fma + 4 squarings + 1 reciprocal.
+
+    Both are an order below bf16 resolution at the op boundary."""
+    from .. import flags
+
     s = jnp.sign(x)
     a = jnp.abs(x)
+    if flags.FFN_ERF == "r16":
+        p = 1.0 + a * (
+            0.0705230784
+            + a * (0.0422820123 + a * (0.0092705272 + a * (
+                0.0001520143 + a * (0.0002765672 + a * 0.0000430638))))
+        )
+        q = p * p
+        q = q * q
+        q = q * q
+        q = q * q  # p^16
+        return s * (1.0 - 1.0 / q)
     t = 1.0 / (1.0 + 0.3275911 * a)
     poly = t * (
         0.254829592
