@@ -5,6 +5,7 @@ Each argv element is one configuration; 'base' = defaults.
 """
 from __future__ import annotations
 
+import contextlib
 import sys
 import time
 
@@ -53,18 +54,10 @@ def main():
             for kv in cfg.split(","):
                 k, v = kv.split("=")
                 env[k] = v
-        with flags.override(**env) if env else _null():
+        with flags.override(**env) if env else contextlib.nullcontext():
             print(f"--- {cfg}")
             bench("TUNet chunk (sw8)", TUNet(out_channels=14, dtype=DT), x)
             bench("CTUNet chunk (sw8)", CTUNet(out_channels=14, dtype=DT), x)
-
-
-import contextlib
-
-
-@contextlib.contextmanager
-def _null():
-    yield
 
 
 if __name__ == "__main__":
