@@ -127,6 +127,13 @@ _DEFAULTS = {
     "ATTN_TB": ("4", int),
     "FFN_TN": ("", str),  # "" = auto-pick per shape
     "FFN_HK": ("256", int),  # hidden-dim streaming chunk in the FFN kernel
+    # trailing-remainder chunk in the sliding-window loop strategy: dispatch
+    # the final partial window chunk as a smaller (power-of-two-bucketed)
+    # program instead of padding it to a full sw_batch of dummy windows —
+    # recovers the padded slots' whole model forward (6/8 slots of the
+    # bench's last CTUNet chunk, 5/8 of TUNet's). Bit-exact: dummy windows
+    # contributed exactly 0.0 in window order either way.
+    "SW_REMAINDER": ("1", str),
     # in-kernel erf: "as26" (exp-based, err 4.4e-7) | "r16" (no exp, 1.6e-6).
     # Measured NEUTRAL end-to-end (ab_flags_model: 157.4/356.7 vs
     # 157.3/356.3) — Mosaic hides the exp under the MXU dots; default stays

@@ -245,7 +245,11 @@ class SlidingWindowEngine:
                 )[0]
 
             def _chunk_body(accs, padded, s, v, importance, *pred_args):
-                # accs: tuple (X, Y, Z*k); s: (sw, 3); v: (sw,)
+                # accs: tuple (X, Y, Z*k); s: (swc, 3); v: (swc,). The chunk
+                # size swc is taken from the operand shapes so the SAME traced
+                # function serves both the full sw_batch chunks and a smaller
+                # trailing-remainder chunk (jit re-specializes per shape).
+                swc = s.shape[0]
                 wins = jax.vmap(gather_one, in_axes=(None, 0))(padded, s)
                 preds = self.predictor(wins, *pred_args)
                 preds = preds if isinstance(preds, (tuple, list)) else (preds,)
@@ -256,11 +260,11 @@ class SlidingWindowEngine:
                     contrib = jnp.concatenate(
                         [
                             w_imp * p.astype(jnp.float32),
-                            jnp.broadcast_to(w_imp, (sw, *roi, 1)),  # count lane
-                            jnp.zeros((sw, *roi, k - c - 1), jnp.float32),
+                            jnp.broadcast_to(w_imp, (swc, *roi, 1)),  # count lane
+                            jnp.zeros((swc, *roi, k - c - 1), jnp.float32),
                         ],
                         axis=-1,
-                    ).reshape(sw, rx, ry, rz * k)
+                    ).reshape(swc, rx, ry, rz * k)
                     s_scaled = s * jnp.asarray([1, 1, k], jnp.int32)
                     new_accs.append(
                         scatter_add_windows(acc, contrib, s_scaled, use_pallas=use_pallas)
@@ -356,6 +360,34 @@ class SlidingWindowEngine:
                 # programs are independent of it, so one build serves every
                 # window count on this canvas shape.
                 accs = init_accs()
+                if self.mesh is None and flags.SW_REMAINDER == "1":
+                    # Dispatch full sw-chunks, then the trailing partial chunk
+                    # as a SMALLER program (chunk size bucketed to the next
+                    # power of two, capping extra compiles at log2(sw) per
+                    # canvas) instead of padding it with sw - r dummy windows
+                    # that each cost a full model forward. Bit-exact: dummy
+                    # windows add exactly 0.0, and real windows accumulate in
+                    # the same order either way.
+                    s_np = np.asarray(starts)
+                    v_np = np.asarray(valid)
+                    n = int(v_np.sum())
+                    nfull, rem = divmod(n, sw)
+                    for ci in range(nfull):
+                        sl = slice(ci * sw, (ci + 1) * sw)
+                        accs = chunk_step(
+                            accs, padded, put(s_np[sl]), put(v_np[sl]),
+                            importance, *pred_args,
+                        )
+                    if rem:
+                        rb = 1 << (rem - 1).bit_length()
+                        sp = np.zeros((rb, 3), np.int32)
+                        sp[:rem] = s_np[nfull * sw : nfull * sw + rem]
+                        vp = np.zeros((rb,), np.float32)
+                        vp[:rem] = 1.0
+                        accs = chunk_step(
+                            accs, padded, put(sp), put(vp), importance, *pred_args
+                        )
+                    return finalize(accs)
                 chunk_starts = regroup(starts)
                 chunk_valid = regroup(valid)
                 for ci in range(len(chunk_starts)):

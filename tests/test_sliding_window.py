@@ -173,6 +173,32 @@ def test_loop_strategy_matches_scan():
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6, rtol=1e-6)
 
 
+def test_remainder_chunk_is_bit_identical():
+    """The trailing-remainder dispatch (smaller final chunk program instead of
+    dummy-window padding) must be bit-exact vs the padded path: dummy windows
+    contribute exactly 0.0 and real windows accumulate in the same order."""
+    import jax.numpy as jnp
+    import numpy as np
+    from hybrid_ctunet_tpu import flags
+    from hybrid_ctunet_tpu.infer.sliding_window import SlidingWindowEngine
+
+    g = np.random.default_rng(13)
+    vol = jnp.asarray(g.standard_normal((1, 40, 40, 24, 1)), jnp.float32)
+
+    def predictor(x):
+        return jnp.concatenate([x * 2.0 + 1.0, -x], axis=-1)
+
+    kw = dict(sw_batch_size=4, overlap=0.5, mode="gaussian")
+    with flags.override(SW_REMAINDER="0"):
+        (a,) = SlidingWindowEngine(predictor, (16, 16, 16), **kw)(vol)
+        a = np.asarray(a)
+    with flags.override(SW_REMAINDER="1"):
+        eng = SlidingWindowEngine(predictor, (16, 16, 16), **kw)
+        (b,) = eng(vol)
+        b = np.asarray(b)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_canvas_bucketing_is_numerically_identical():
     """Bucket-rounded canvas must not change blending numerics, and a second
     volume of a different shape must reuse the same build (cache key)."""
