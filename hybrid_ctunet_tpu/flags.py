@@ -36,6 +36,8 @@ _DEFAULTS = {
     "PALLAS_ATTN": ("1", str),
     "PALLAS_SCATTER": ("1", str),
     "PALLAS_NORM": ("0", str),
+    # fused pixel-shuffle + per-voxel Linear (ops/shuffle_pallas.py)
+    "PALLAS_SHUFFLE": ("0", str),
     # structural conv/concat rewrites (env-gated experiments, PERF.md
     # "Hard-won rules" — default-off ones lost end-to-end despite standalone
     # wins)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import flags
-from ..ops import attention_pallas, ffn_pallas
+from ..ops import attention_pallas, ffn_pallas, shuffle_pallas
 from ..ops.act import gelu_exact, leaky_relu
 from ..ops.conv import (
     conv3d_altfold_a2o,
@@ -390,6 +390,23 @@ class PixelShuffleLinear(nn.Module):
         if C % div != 0:
             raise ValueError(f"channels {C} not divisible by prod(factor) {div}")
         cp = C // div
+        if (
+            div > 1
+            and _pallas_enabled("SHUFFLE")
+            and shuffle_pallas.supports(x.shape, self.factor, self.features, self.dtype)
+        ):
+            # fused kernel: one input read, f0*f1 factor dots back-to-back,
+            # each result stored directly at its interleaved position — the
+            # 8-D transpose and its HBM layout copies disappear. Standalone
+            # it wins 1.6-2.35x (tools/probe_shuffle.py) but IN-MODEL it
+            # LOSES ~40 ms/chunk on both models (the fifth standalone
+            # reversal at this site: the pallas_call pins both operand
+            # layouts and breaks XLA's fusion of the shuffle into its
+            # neighbors). Default off; kept gated with equivalence tests.
+            w, b = _DenseBiasParams((cp, self.features), name="to_out")()
+            return shuffle_pallas.fused_pixel_shuffle(
+                x, w, b, tuple(self.factor), self.dtype
+            )
         # Standalone the K=C' per-voxel Linear is pathological (~1.3 TF/s at
         # stage 3) and the block-diag matmul ~10x faster — but END TO END it
         # regresses 9.71 -> 9.31 vol/min (the fourth standalone-vs-in-model
