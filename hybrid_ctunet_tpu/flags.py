@@ -38,6 +38,15 @@ _DEFAULTS = {
     "PALLAS_NORM": ("0", str),
     # fused pixel-shuffle + per-voxel Linear (ops/shuffle_pallas.py)
     "PALLAS_SHUFFLE": ("0", str),
+    # folded 96^3 region: keep the fold_z layout ACROSS block boundaries in
+    # the full-res C=64 region (stem ResBlock -> CatConvBlock -> out head,
+    # stage-3 shuffle -> decoder0 -> per-voxel Dense, CTUNet res_decoder0 ->
+    # res head) so each block's boundary unfold/fold pair cancels. Exact
+    # reordering (identical math + parameter tree); the device trace priced
+    # those boundary copies at ~12 ms/chunk on TUNet (decoder0 reshapes at
+    # 306-536 GB/s). Measured END-TO-END WIN (tools/ab_flags_model.py, v5e
+    # sw8): TUNet chunk 157.6 -> 148.1 ms, CTUNet 356.7 -> 333.5.
+    "FOLD96": ("1", str),
     # structural conv/concat rewrites (env-gated experiments, PERF.md
     # "Hard-won rules" — default-off ones lost end-to-end despite standalone
     # wins)

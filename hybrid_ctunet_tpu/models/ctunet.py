@@ -16,6 +16,8 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .. import flags
+from ..ops.conv import unfold_z
 from .layers import UnetOutHead, Up2FusionBlock, UpConvBlock
 from .resnet3d import ResNet3D
 from .tunet import TUNetCore
@@ -72,9 +74,20 @@ class CTUNet(nn.Module):
         dec1 = Up2FusionBlock(DIMS[0], DS_STRIDE[1], dtype=self.dtype, name="res_decoder1")(
             dec2, enc1, vit_48
         )
-        res_out = UpConvBlock(64, DS_STRIDE[0], dtype=self.dtype, name="res_decoder0")(dec1)
+        # FOLD96 (see tunet.py): res_decoder0's full-res ResBlock emits the
+        # fold_z layout and the head consumes it folded — the boundary
+        # unfold moves to the 14-channel logits (4.6x less data).
+        fold96 = flags.FOLD96 == "1" and x.shape[3] % 2 == 0
+        res_out = UpConvBlock(
+            64, DS_STRIDE[0], dtype=self.dtype, fold_out=fold96,
+            name="res_decoder0",
+        )(dec1)
 
-        res_logits = UnetOutHead(self.out_channels, dtype=self.dtype, name="res_out")(res_out)
+        res_logits = UnetOutHead(self.out_channels, dtype=self.dtype, name="res_out")(
+            res_out, folded=fold96
+        )
+        if fold96:
+            res_logits = unfold_z(res_logits)
         res_48 = UnetOutHead(self.out_channels, dtype=self.dtype, name="res_out_48x48")(dec1)
         res_24 = UnetOutHead(self.out_channels, dtype=self.dtype, name="res_out_24x24")(dec2)
 

@@ -117,12 +117,18 @@ class Conv3d(nn.Module):
             return fn(x.astype(self.dtype), w.astype(self.dtype),
                       preferred_dtype=self.dtype)
         if ff:
-            assert not self.use_bias and in_affine is None and not emit_stats
+            assert in_affine is None and not emit_stats
             assert _triple(self.stride) == (1, 1, 1)
-            return conv3d_folded(
+            y = conv3d_folded(
                 x.astype(self.dtype), w.astype(self.dtype),
                 preferred_dtype=self.dtype, factor=ff,
             )
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+                # folded output channel s*F+f carries slot s of channel f
+                y = y + jnp.tile(b.astype(self.dtype), ff)
+            return y
         if in_affine is not None or emit_stats:
             # Winograd fused-IN chain (ops/winograd_pallas.py v2): the caller
             # (ResBlock) verified winograd_pallas.supports for this shape.
@@ -191,14 +197,22 @@ class Dense(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        cin = x.shape[-1]
+    def __call__(self, x, folded=False):
+        # folded (FOLD96): x is the fold_z layout (..., 2C); run the same
+        # per-voxel linear as one 2C-lane dot with the block-diagonal weight
+        # kron(I2, w) — folded channel s*C+c maps to output s*F+f. The
+        # parameter keeps its unfolded (C, F) shape.
+        cin = x.shape[-1] // (2 if folded else 1)
         w = self.param("kernel", nn.initializers.lecun_normal(), (cin, self.features), jnp.float32)
-        y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype),
+        wm = w.astype(self.dtype)
+        if folded:
+            wm = jnp.kron(jnp.eye(2, dtype=wm.dtype), wm)
+        y = jnp.dot(x.astype(self.dtype), wm,
                     preferred_element_type=jnp.float32).astype(self.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            y = y + b.astype(self.dtype)
+            bb = jnp.tile(b.astype(self.dtype), 2) if folded else b.astype(self.dtype)
+            y = y + bb
         return y
 
 
@@ -599,16 +613,26 @@ class ResBlock(nn.Module):
     ``__call__(x, skip=None)``: when ``skip`` is given, the block operates on
     the virtual concat(x, skip) — conv1 and the projection shortcut split
     their kernels over the two inputs instead of materializing the
-    concatenation (identical math and parameter tree)."""
+    concatenation (identical math and parameter tree).
+
+    ``fold_in``/``fold_out`` (FOLD96 cross-block convention): the inputs
+    arrive / the output leaves in the ``fold_z`` layout (B,X,Y,Z/2,2C), so
+    adjacent folded blocks skip the boundary unfold/fold pair entirely.
+    Exact reordering; when the altfold fast path is gated off the block
+    unfolds at entry / refolds at exit and stays correct."""
 
     features: int
     kernel_size: Sequence[int] | int = 3
     stride: Sequence[int] | int = 1
     dtype: jnp.dtype = jnp.float32
+    fold_in: bool = False
+    fold_out: bool = False
 
     @nn.compact
     def __call__(self, x, skip=None):
-        cin = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
+        div = 2 if self.fold_in else 1
+        zdim = x.shape[3] * div  # unfolded spatial z
+        cin = x.shape[-1] // div + (skip.shape[-1] // div if skip is not None else 0)
         stride = _triple(self.stride)
         needs_proj = cin != self.features or any(s != 1 for s in stride)
 
@@ -628,7 +652,8 @@ class ResBlock(nn.Module):
             )
 
         fused2 = (
-            flags.WINOGRAD == "2"
+            not self.fold_in
+            and flags.WINOGRAD == "2"
             and stride == (1, 1, 1)
             and _wino_ok(f, x.shape)
         )
@@ -639,7 +664,7 @@ class ResBlock(nn.Module):
             and stride == (1, 1, 1)
             and f <= flags.ALTFOLD_CH
             and f % 2 == 0
-            and x.shape[3] % 2 == 0
+            and zdim % 2 == 0
             and (skip is None or needs_proj)
         )
         if altfold:
@@ -653,9 +678,12 @@ class ResBlock(nn.Module):
             # C=64 46.9 -> 35.7 ms, C=32 59.3 -> 20.8; C=128 LOSES (already
             # lane-saturated), hence the ALTFOLD_CH gate. Identical math and
             # parameter tree; pinned by tests/test_conv.py.
-            n_vox = x.shape[1] * x.shape[2] * x.shape[3]
-            xf = fold_z(x)
-            sf = fold_z(skip) if skip is not None else None
+            n_vox = x.shape[1] * x.shape[2] * zdim
+            xf = x if self.fold_in else fold_z(x)
+            if skip is None:
+                sf = None
+            else:
+                sf = skip if self.fold_in else fold_z(skip)
             if skip is None:
                 y1 = Conv3d(f, 3, 1, dtype=self.dtype, name="conv1")(xf, altfold="a2o")
             else:
@@ -673,7 +701,7 @@ class ResBlock(nn.Module):
             out = Conv3d(f, 3, 1, dtype=self.dtype, name="conv2")(y1, altfold="o2a")
             out = instance_norm_folded(out)
             if needs_proj:
-                if flags.ALTFOLD_PROJSTD == "1":
+                if flags.ALTFOLD_PROJSTD == "1" and not self.fold_in:
                     # 1x1 projection in STANDARD layout (the folded
                     # block-diagonal runs 2x MACs at 24-42 TF/s in the
                     # device trace); its aligned-fold output is a free view.
@@ -693,7 +721,15 @@ class ResBlock(nn.Module):
                     residual = instance_norm_folded(residual)
             else:
                 residual = xf
-            return unfold_z(leaky_relu(out + residual))
+            res = leaky_relu(out + residual)
+            return res if self.fold_out else unfold_z(res)
+
+        # fallback paths (altfold gated off) run in the standard layout:
+        # normalize folded inputs here and refold at exit — correct, at the
+        # cost of the boundary copies FOLD96 exists to remove.
+        if self.fold_in:
+            x = unfold_z(x)
+            skip = unfold_z(skip) if skip is not None else None
 
         zfold_res = (
             not fused2
@@ -737,7 +773,8 @@ class ResBlock(nn.Module):
                 residual = instance_norm_folded(residual)
             else:
                 residual = xf
-            return unfold_z(leaky_relu(out + residual))
+            res = leaky_relu(out + residual)
+            return res if self.fold_out else unfold_z(res)
 
         if fused2:
             n_vox = x.shape[1] * x.shape[2] * x.shape[3]
@@ -788,7 +825,8 @@ class ResBlock(nn.Module):
             residual = x if skip is None else jnp.concatenate(
                 [x, skip.astype(x.dtype)], axis=-1
             )
-        return leaky_relu(out + residual)
+        res = leaky_relu(out + residual)
+        return fold_z(res) if self.fold_out else res
 
 
 class UpCatConvBlock(nn.Module):
@@ -820,6 +858,7 @@ class UpConvBlock(nn.Module):
     upsample_stride: Sequence[int]
     kernel_size: int = 3
     dtype: jnp.dtype = jnp.float32
+    fold_out: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -827,7 +866,10 @@ class UpConvBlock(nn.Module):
             self.features, self.upsample_stride, self.upsample_stride, dtype=self.dtype,
             name="transp_conv",
         )(x)
-        return maybe_remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block")(out)
+        return maybe_remat(ResBlock)(
+            self.features, self.kernel_size, 1, dtype=self.dtype,
+            fold_out=self.fold_out, name="conv_block"
+        )(out)
 
 
 class Up2FusionBlock(nn.Module):
@@ -854,27 +896,37 @@ class Up2FusionBlock(nn.Module):
 
 
 class CatConvBlock(nn.Module):
-    """concat(x, skip) -> ResBlock (reference hybrid_CTUNet.py:593-620)."""
+    """concat(x, skip) -> ResBlock (reference hybrid_CTUNet.py:593-620).
+
+    ``fold_in``/``fold_out``: FOLD96 cross-block fold convention (see
+    ResBlock) — both inputs arrive / the output leaves z-folded."""
 
     features: int
     kernel_size: int = 3
     dtype: jnp.dtype = jnp.float32
+    fold_in: bool = False
+    fold_out: bool = False
 
     @nn.compact
     def __call__(self, x, skip):
         # virtual concat: ResBlock splits its kernels over (x, skip)
         return maybe_remat(ResBlock)(
-            self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block"
+            self.features, self.kernel_size, 1, dtype=self.dtype,
+            fold_in=self.fold_in, fold_out=self.fold_out, name="conv_block"
         )(x, skip)
 
 
 class UnetOutHead(nn.Module):
     """1x1x1 conv head with bias (MONAI UnetOutBlock semantics,
-    reference hybrid_CTUNet.py:781-783)."""
+    reference hybrid_CTUNet.py:781-783).
+
+    ``folded``: FOLD96 — x is z-folded; the head runs as the block-diagonal
+    folded 1x1 (same parameters) and returns the folded logits."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        return Conv3d(self.features, 1, 1, use_bias=True, dtype=self.dtype, name="conv")(x)
+    def __call__(self, x, folded=False):
+        return Conv3d(self.features, 1, 1, use_bias=True, dtype=self.dtype,
+                      name="conv")(x, folded=folded)

@@ -12,6 +12,8 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .. import flags
+from ..ops.conv import fold_z, unfold_z
 from .decoder_attention import UpAttentionBlock
 from .layers import CatConvBlock, Dense, ResBlock, UnetOutHead, maybe_remat
 from .vit3d import ViT3D
@@ -68,15 +70,34 @@ class TUNetCore(nn.Module):
             name="vit_encoder",
         )(grid, deterministic=deterministic)
 
-        stem = maybe_remat(ResBlock)(self.dim_conv_stem, 3, 1, dtype=self.dtype, name="vit_encoder0")(x)
-        fused = CatConvBlock(self.dim_conv_stem, dtype=self.dtype, name="vit_decoder0")(
-            pyramid[-1], stem
+        # FOLD96: the whole full-res C=64 region (stem ResBlock ->
+        # CatConvBlock -> heads) runs in the fold_z layout so each block
+        # boundary's unfold/fold pair cancels instead of costing a layout
+        # copy (device trace: ~12 ms/chunk of 306-536 GB/s reshapes around
+        # decoder0). Exact reordering; parameter tree unchanged.
+        fold96 = flags.FOLD96 == "1" and x.shape[3] % 2 == 0
+
+        stem = maybe_remat(ResBlock)(
+            self.dim_conv_stem, 3, 1, dtype=self.dtype, fold_out=fold96,
+            name="vit_encoder0",
+        )(x)
+        p_last = fold_z(pyramid[-1]) if fold96 else pyramid[-1]
+        fused = CatConvBlock(
+            self.dim_conv_stem, dtype=self.dtype, fold_in=fold96,
+            fold_out=fold96, name="vit_decoder0",
+        )(p_last, stem)
+        vit_logits = UnetOutHead(self.out_channels, dtype=self.dtype, name="vit_out")(
+            fused, folded=fold96
         )
-        vit_logits = UnetOutHead(self.out_channels, dtype=self.dtype, name="vit_out")(fused)
 
         # DecoderLinear with patch_size=1 (reference hybrid_CTUNet.py:671-691):
         # a per-voxel linear classifier on the full-res pyramid level.
-        vit_96 = Dense(self.out_channels, dtype=self.dtype, name="decoder_linear_96x96")(pyramid[-1])
+        vit_96 = Dense(self.out_channels, dtype=self.dtype, name="decoder_linear_96x96")(
+            p_last, folded=fold96
+        )
+        if fold96:
+            vit_logits = unfold_z(vit_logits)
+            vit_96 = unfold_z(vit_96)
 
         return vit_logits, vit_96, pyramid
 

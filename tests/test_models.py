@@ -152,3 +152,54 @@ def test_pixelshuffle_conv_transpose_path_matches(rng):
         assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_c)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=1e-5)
+
+
+TINY = dict(
+    out_channels=3,
+    dim_conv_stem=16,
+    img_size=(32, 32),
+    frames=32,
+    patch_frame=8,
+    hidden_size=64,
+    num_depths=2,
+    mlp_dim=128,
+    num_heads=2,
+    window=2,
+)
+
+
+@pytest.mark.parametrize("altfold", ["0", "1"])
+def test_fold96_tunet_matches_default(rng, altfold):
+    """FOLD96 (full-res region kept in the fold_z layout across block
+    boundaries) is an exact reordering: same parameter tree, same outputs,
+    on both the altfold fast path and the standard fallback."""
+    from hybrid_ctunet_tpu import flags
+
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 1)), jnp.float32)
+    model = TUNet(**TINY)
+    with flags.override(FOLD96="0", ALTFOLD=altfold):
+        params = model.init(jax.random.PRNGKey(0), x)
+        want = model.apply(params, x)
+    with flags.override(FOLD96="1", ALTFOLD=altfold):
+        params_f = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_f)
+        got = model.apply(params, x)
+    for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("altfold", ["0", "1"])
+def test_fold96_ctunet_matches_default(rng, altfold):
+    from hybrid_ctunet_tpu import flags
+
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 1)), jnp.float32)
+    model = CTUNet(model_depth=50, **TINY)
+    with flags.override(FOLD96="0", ALTFOLD=altfold):
+        params = model.init(jax.random.PRNGKey(0), x)
+        want = model.apply(params, x)
+    with flags.override(FOLD96="1", ALTFOLD=altfold):
+        params_f = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_f)
+        got = model.apply(params, x)
+    for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-5, rtol=1e-5)
