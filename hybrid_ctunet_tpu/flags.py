@@ -47,6 +47,23 @@ _DEFAULTS = {
     # 306-536 GB/s). Measured END-TO-END WIN (tools/ab_flags_model.py, v5e
     # sw8): TUNet chunk 157.6 -> 148.1 ms, CTUNet 356.7 -> 333.5.
     "FOLD96": ("1", str),
+    # FOLD96 sub-sites, measured separately in ONE process
+    # (tools/ab_flags_model.py base FOLD96_LAST=1 FOLD96_MID=0, v5e sw8):
+    # LAST: the stage-3 pixel shuffle emits the fold_z layout itself — the
+    # z-pair regroup rides the shuffle's own final reshape and the per-voxel
+    # Linear becomes the block-diagonal kron(I2, w) dot (extra entries are
+    # zeros; exact). Kills the separate fold_z copy after the shuffle.
+    # Measured WIN: TUNet 147.4 -> 144.0 ms, CTUNet 333.7 -> 331.5.
+    # (An earlier cross-process reading of a 32 ms LOSS was host-CPU
+    # contention from a concurrently running pytest suite — one-process
+    # flag A/B is the required protocol on this 1-core host.)
+    "FOLD96_LAST": ("1", str),
+    # MID: inside UpConvBlock, the transp_conv emits the fold_z layout for
+    # free on the einsum interleave and the ResBlock consumes it via
+    # fold_in, killing the ~3 ms boundary copy at CTUNet res_decoder0.
+    # Measured neutral-to-slightly-positive (CTUNet 333.7 vs 333.7 off,
+    # TUNet unaffected); kept on as the fewer-copies form.
+    "FOLD96_MID": ("1", str),
     # structural conv/concat rewrites (env-gated experiments, PERF.md
     # "Hard-won rules" — default-off ones lost end-to-end despite standalone
     # wins)

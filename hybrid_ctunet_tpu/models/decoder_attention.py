@@ -25,6 +25,11 @@ class UpAttentionBlock(nn.Module):
     window: int = 6
     dropout: float = 0.0  # reaches every attention + FFN (hybrid_CTUNet.py:560-576)
     dtype: jnp.dtype = jnp.float32
+    # fold_last: the final (full-res) stage's pixel shuffle emits the fold_z
+    # layout directly (see PixelShuffleLinear.fold_out) — pyramid[-1] is then
+    # (B, X, Y, Z/2, 128) instead of (B, X, Y, Z, 64); earlier levels are
+    # unchanged. Exact math, same parameter tree.
+    fold_last: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -63,7 +68,9 @@ class UpAttentionBlock(nn.Module):
                     x, deterministic=deterministic
                 )
             x = PixelShuffleLinear(
-                tuple(factors[ind]), dim_out, dtype=self.dtype, name=f"stage{ind}_shuffle"
+                tuple(factors[ind]), dim_out, dtype=self.dtype,
+                fold_out=self.fold_last and ind == len(factors) - 1,
+                name=f"stage{ind}_shuffle",
             )(x)
             features.append(x)
         return features

@@ -160,6 +160,7 @@ class ConvTranspose3d(nn.Module):
     kernel_size: Sequence[int] | int
     stride: Sequence[int] | int
     dtype: jnp.dtype = jnp.float32
+    fold_out: bool = False  # emit the fold_z layout directly (free on the einsum path)
 
     @nn.compact
     def __call__(self, x):
@@ -173,7 +174,7 @@ class ConvTranspose3d(nn.Module):
         )
         y = conv_transpose3d_same(
             x.astype(self.dtype), w.astype(self.dtype), self.stride,
-            preferred_dtype=self.dtype
+            preferred_dtype=self.dtype, fold_out=self.fold_out,
         )
         return y
 
@@ -395,6 +396,13 @@ class PixelShuffleLinear(nn.Module):
     factor: Tuple[int, int, int]
     features: int
     dtype: jnp.dtype = jnp.float32
+    # fold_out: emit the fold_z layout (B, Xf0, Yf1, Zf2/2, 2*features)
+    # directly by composing the z-pair regroup into the shuffle's own final
+    # reshape and running the per-voxel Linear as the block-diagonal
+    # kron(I2, w) dot — kills the separate fold_z layout copy downstream
+    # (device trace: 2x ~3.2 ms/chunk of 524 GB/s `core/reshape`, one per
+    # consumer fusion). Exact: the extra weight entries are zeros.
+    fold_out: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -403,6 +411,8 @@ class PixelShuffleLinear(nn.Module):
         div = f0 * f1 * f2
         if C % div != 0:
             raise ValueError(f"channels {C} not divisible by prod(factor) {div}")
+        if self.fold_out and (Z * f2) % 2 != 0:
+            raise ValueError(f"fold_out needs an even output Z, got {Z * f2}")
         cp = C // div
         if (
             div > 1
@@ -418,9 +428,10 @@ class PixelShuffleLinear(nn.Module):
             # layouts and breaks XLA's fusion of the shuffle into its
             # neighbors). Default off; kept gated with equivalence tests.
             w, b = _DenseBiasParams((cp, self.features), name="to_out")()
-            return shuffle_pallas.fused_pixel_shuffle(
+            y = shuffle_pallas.fused_pixel_shuffle(
                 x, w, b, tuple(self.factor), self.dtype
             )
+            return fold_z(y) if self.fold_out else y
         # Standalone the K=C' per-voxel Linear is pathological (~1.3 TF/s at
         # stage 3) and the block-diag matmul ~10x faster — but END TO END it
         # regresses 9.71 -> 9.31 vol/min (the fourth standalone-vs-in-model
@@ -453,7 +464,8 @@ class PixelShuffleLinear(nn.Module):
                 dimension_numbers=dn, transpose_kernel=True,
                 preferred_element_type=self.dtype,
             )
-            return y + b.astype(self.dtype)
+            y = y + b.astype(self.dtype)
+            return fold_z(y) if self.fold_out else y
         if flags.SHUFFLE_BD == "1" and div > 1:
             w, b = _DenseBiasParams((cp, self.features), name="to_out")()
             F = self.features
@@ -467,9 +479,16 @@ class PixelShuffleLinear(nn.Module):
             y = y + jnp.tile(b.astype(self.dtype), div)
             y = y.reshape(B, X, Y, Z, f0, f1, f2, F)
             y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
-            return y.reshape(B, X * f0, Y * f1, Z * f2, F)
+            y = y.reshape(B, X * f0, Y * f1, Z * f2, F)
+            return fold_z(y) if self.fold_out else y
         x = x.reshape(B, X, Y, Z, cp, f0, f1, f2)
         x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)  # (B, X, f0, Y, f1, Z, f2, C')
+        if self.fold_out:
+            # the trailing (Z, f2, C') dims flatten z_out-major, so regrouping
+            # as (Z*f2/2, 2C') pairs adjacent output z — a pure reshape folded
+            # into the same transpose copy XLA emits anyway.
+            x = x.reshape(B, X * f0, Y * f1, (Z * f2) // 2, 2 * cp)
+            return Dense(self.features, dtype=self.dtype, name="to_out")(x, folded=True)
         x = x.reshape(B, X * f0, Y * f1, Z * f2, cp)
         return Dense(self.features, dtype=self.dtype, name="to_out")(x)
 
@@ -862,13 +881,23 @@ class UpConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # FOLD96_MID: when the caller wants folded output (FOLD96), the
+        # internal transp_conv -> ResBlock boundary also stays folded: the
+        # einsum interleave emits the fold_z layout for free and the ResBlock
+        # consumes it via fold_in (kills a ~3.1 ms/chunk layout copy).
+        s = _triple(self.upsample_stride)
+        fold_mid = (
+            self.fold_out
+            and flags.FOLD96_MID == "1"
+            and (x.shape[3] * s[2]) % 2 == 0
+        )
         out = ConvTranspose3d(
             self.features, self.upsample_stride, self.upsample_stride, dtype=self.dtype,
-            name="transp_conv",
+            fold_out=fold_mid, name="transp_conv",
         )(x)
         return maybe_remat(ResBlock)(
             self.features, self.kernel_size, 1, dtype=self.dtype,
-            fold_out=self.fold_out, name="conv_block"
+            fold_in=fold_mid, fold_out=self.fold_out, name="conv_block"
         )(out)
 
 

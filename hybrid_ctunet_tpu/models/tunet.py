@@ -64,24 +64,29 @@ class TUNetCore(nn.Module):
         # proj_feat (reference hybrid_CTUNet.py:812-815): tokens (h w f) -> grid
         grid = tokens.reshape(B, gh, gw, gf, self.hidden_size)
 
+        # FOLD96: the whole full-res C=64 region (stage-3 shuffle -> stem
+        # ResBlock -> CatConvBlock -> heads) runs in the fold_z layout so
+        # each block boundary's unfold/fold pair cancels instead of costing
+        # a layout copy (device trace: ~12 ms/chunk of 306-536 GB/s reshapes
+        # around decoder0 + 2x ~3.2 ms for the pyramid[-1] fold itself).
+        # Exact reordering; parameter tree unchanged.
+        fold96 = flags.FOLD96 == "1" and x.shape[3] % 2 == 0
+        # FOLD96_LAST: the stage-3 shuffle can emit the folded layout itself
+        # (block-diag per-voxel Dense) instead of a separate fold_z copy —
+        # measured LOSS (~32 ms/chunk TUNet, see flags.py); default off.
+        fold_last = fold96 and flags.FOLD96_LAST == "1"
+
         pyramid = UpAttentionBlock(
             in_channels=self.hidden_size, dims=DIMS, ds_stride=DS_STRIDE,
             window=self.window, dropout=self.dropout_rate, dtype=self.dtype,
-            name="vit_encoder",
+            fold_last=fold_last, name="vit_encoder",
         )(grid, deterministic=deterministic)
-
-        # FOLD96: the whole full-res C=64 region (stem ResBlock ->
-        # CatConvBlock -> heads) runs in the fold_z layout so each block
-        # boundary's unfold/fold pair cancels instead of costing a layout
-        # copy (device trace: ~12 ms/chunk of 306-536 GB/s reshapes around
-        # decoder0). Exact reordering; parameter tree unchanged.
-        fold96 = flags.FOLD96 == "1" and x.shape[3] % 2 == 0
 
         stem = maybe_remat(ResBlock)(
             self.dim_conv_stem, 3, 1, dtype=self.dtype, fold_out=fold96,
             name="vit_encoder0",
         )(x)
-        p_last = fold_z(pyramid[-1]) if fold96 else pyramid[-1]
+        p_last = pyramid[-1] if fold_last or not fold96 else fold_z(pyramid[-1])
         fused = CatConvBlock(
             self.dim_conv_stem, dtype=self.dtype, fold_in=fold96,
             fold_out=fold96, name="vit_decoder0",

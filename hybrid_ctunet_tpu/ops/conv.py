@@ -458,6 +458,7 @@ def conv_transpose3d_same(
     stride: Sequence[int] | int,
     *,
     preferred_dtype=jnp.float32,
+    fold_out: bool = False,
 ) -> jax.Array:
     """Channels-last transposed 3D conv reproducing torch ConvTranspose3d with
     MONAI's (padding, output_padding) rule; output spatial = input * stride.
@@ -488,6 +489,15 @@ def conv_transpose3d_same(
         )
         # interleave blocks into space: (B,X,Y,Z,k0,k1,k2,Cout) -> (B,X*k0,Y*k1,Z*k2,Cout)
         y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+        if fold_out:
+            # emit the fold_z layout directly: the trailing (Z, k2, Cout)
+            # dims flatten z_out-major, so regrouping as (Z*k2/2, 2*Cout) is
+            # a pure reshape composed into the same interleave copy — kills
+            # the separate downstream fold_z layout copy (device trace:
+            # ~3.1 ms/chunk at res_decoder0/conv_block).
+            if (Z * k[2]) % 2 != 0:
+                raise ValueError(f"fold_out needs an even output Z, got {Z * k[2]}")
+            return y.reshape(B, X * k[0], Y * k[1], Z * k[2] // 2, 2 * Cout)
         return y.reshape(B, X * k[0], Y * k[1], Z * k[2], Cout)
 
     # General case: lax.conv_transpose with torch-equivalent explicit padding.
@@ -498,7 +508,7 @@ def conv_transpose3d_same(
     pads = [(ki - 1 - pi, ki - 1 - pi + opi) for ki, pi, opi in zip(k, p, op)]
     w_fwd = jnp.swapaxes(w, -1, -2)
     dn = _DN(x.shape, w_fwd.shape, ("NDHWC", "DHWIO", "NDHWC"))
-    return lax.conv_transpose(
+    y = lax.conv_transpose(
         x,
         w_fwd,
         strides=s,
@@ -507,3 +517,4 @@ def conv_transpose3d_same(
         transpose_kernel=True,
         preferred_element_type=preferred_dtype,
     )
+    return fold_z(y) if fold_out else y

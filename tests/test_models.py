@@ -154,6 +154,46 @@ def test_pixelshuffle_conv_transpose_path_matches(rng):
                                    atol=2e-5, rtol=1e-5)
 
 
+def test_pixelshuffle_fold_out_matches_fold_of_default(rng):
+    """fold_out=True (block-diag Dense emitting the fold_z layout directly)
+    equals fold_z(default shuffle), exactly, with the same parameter tree."""
+    import jax
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu.models.layers import PixelShuffleLinear
+    from hybrid_ctunet_tpu.ops.conv import fold_z
+
+    for factor in [(2, 2, 1), (2, 2, 2), (1, 1, 1)]:
+        div = factor[0] * factor[1] * factor[2]
+        x = jnp.asarray(rng.standard_normal((2, 4, 5, 6, 8 * div)), jnp.float32)
+        mod = PixelShuffleLinear(factor, 7)
+        mod_f = PixelShuffleLinear(factor, 7, fold_out=True)
+        params = jax.jit(mod.init)(jax.random.PRNGKey(0), x)
+        params_f = jax.eval_shape(mod_f.init, jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_f)
+        want = fold_z(mod.apply(params, x))
+        got = mod_f.apply(params, x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_conv_transpose_fold_out_matches_fold_of_default(rng):
+    """conv_transpose3d_same(fold_out=True) == fold_z(conv_transpose3d_same)
+    on both the kernel==stride einsum fast path and the general lax path."""
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu import flags
+    from hybrid_ctunet_tpu.ops.conv import conv_transpose3d_same, fold_z
+
+    for stride in [(2, 2, 1), (2, 2, 2)]:
+        x = jnp.asarray(rng.standard_normal((2, 4, 5, 6, 8)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((*stride, 8, 5)), jnp.float32)
+        for native in ["0", "1"]:
+            with flags.override(TRANSP_NATIVE=native):
+                want = fold_z(conv_transpose3d_same(x, w, stride))
+                got = conv_transpose3d_same(x, w, stride, fold_out=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+            )
+
+
 TINY = dict(
     out_channels=3,
     dim_conv_stem=16,
@@ -186,6 +226,30 @@ def test_fold96_tunet_matches_default(rng, altfold):
         got = model.apply(params, x)
     for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("subflags", [
+    dict(FOLD96_LAST="1"),           # shuffle emits the folded layout itself
+    dict(FOLD96_MID="0"),            # UpConvBlock internal boundary unfolds
+    dict(FOLD96_LAST="1", FOLD96_MID="0"),
+])
+def test_fold96_subflags_match_default(rng, subflags):
+    """FOLD96_LAST / FOLD96_MID are exact reorderings of the FOLD96 path:
+    same parameter tree, same outputs (TUNet covers LAST; CTUNet covers
+    MID via res_decoder0)."""
+    from hybrid_ctunet_tpu import flags
+
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 1)), jnp.float32)
+    for model in (TUNet(**TINY), CTUNet(model_depth=50, **TINY)):
+        with flags.override(FOLD96="1"):
+            params = model.init(jax.random.PRNGKey(0), x)
+            want = model.apply(params, x)
+        with flags.override(FOLD96="1", **subflags):
+            params_f = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+            assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_f)
+            got = model.apply(params, x)
+        for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-5, rtol=1e-5)
 
 
 @pytest.mark.parametrize("altfold", ["0", "1"])
