@@ -36,8 +36,17 @@ _DEFAULTS = {
     "PALLAS_ATTN": ("1", str),
     "PALLAS_SCATTER": ("1", str),
     "PALLAS_NORM": ("0", str),
-    # fused pixel-shuffle + per-voxel Linear (ops/shuffle_pallas.py)
-    "PALLAS_SHUFFLE": ("0", str),
+    # fused pixel-shuffle + per-voxel Linear (ops/shuffle_pallas.py):
+    # "0" off | "1" every supported stage (measured ~40 ms/chunk in-model
+    # LOSS at stages 1-2 from operand-layout pinning) | "fold" only at
+    # fold_out sites (the stage-3 full-res shuffle under FOLD96_LAST). At
+    # the fold site the consumer reads the folded (B,X,Y,Z/2,2F) layout
+    # natively, so the kernel's 2F=128-lane stores neither pin a layout a
+    # neighbor wants nor under-fill a lane tile — the first in-model WIN
+    # for this kernel (v5e sw8, tools/ab_flags_model.py: TUNet chunk
+    # 144.2 -> 135.6 ms, CTUNet 330.8 -> 321.4; 1-ulp bf16 equivalence on
+    # the vit branch, res branch bit-exact, tools/equiv_flags_model.py).
+    "PALLAS_SHUFFLE": ("fold", str),
     # folded 96^3 region: keep the fold_z layout ACROSS block boundaries in
     # the full-res C=64 region (stem ResBlock -> CatConvBlock -> out head,
     # stage-3 shuffle -> decoder0 -> per-voxel Dense, CTUNet res_decoder0 ->

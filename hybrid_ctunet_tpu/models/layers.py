@@ -414,24 +414,30 @@ class PixelShuffleLinear(nn.Module):
         if self.fold_out and (Z * f2) % 2 != 0:
             raise ValueError(f"fold_out needs an even output Z, got {Z * f2}")
         cp = C // div
+        # PALLAS_SHUFFLE: "1" engages the fused kernel at every supported
+        # stage; "fold" engages it ONLY at fold_out sites (the stage-3
+        # full-res shuffle under FOLD96_LAST, where the zfold store doubles
+        # the lane width to 2F=128 and the consumer reads the folded layout
+        # natively — the un-gated stage-1/2 sites measured a ~40 ms/chunk
+        # in-model LOSS from operand-layout pinning, the fifth standalone
+        # reversal at this site).
+        ps = flags.PALLAS_SHUFFLE
         if (
             div > 1
-            and _pallas_enabled("SHUFFLE")
-            and shuffle_pallas.supports(x.shape, self.factor, self.features, self.dtype)
+            and (ps == "1" or (ps == "fold" and self.fold_out))
+            and jax.devices()[0].platform == "tpu"
+            and shuffle_pallas.supports(
+                x.shape, self.factor, self.features, self.dtype,
+                zfold=self.fold_out,
+            )
         ):
             # fused kernel: one input read, f0*f1 factor dots back-to-back,
             # each result stored directly at its interleaved position — the
-            # 8-D transpose and its HBM layout copies disappear. Standalone
-            # it wins 1.6-2.35x (tools/probe_shuffle.py) but IN-MODEL it
-            # LOSES ~40 ms/chunk on both models (the fifth standalone
-            # reversal at this site: the pallas_call pins both operand
-            # layouts and breaks XLA's fusion of the shuffle into its
-            # neighbors). Default off; kept gated with equivalence tests.
+            # 8-D transpose and its HBM layout copies disappear.
             w, b = _DenseBiasParams((cp, self.features), name="to_out")()
-            y = shuffle_pallas.fused_pixel_shuffle(
-                x, w, b, tuple(self.factor), self.dtype
+            return shuffle_pallas.fused_pixel_shuffle(
+                x, w, b, tuple(self.factor), self.dtype, False, self.fold_out
             )
-            return fold_z(y) if self.fold_out else y
         # Standalone the K=C' per-voxel Linear is pathological (~1.3 TF/s at
         # stage 3) and the block-diag matmul ~10x faster — but END TO END it
         # regresses 9.71 -> 9.31 vol/min (the fourth standalone-vs-in-model

@@ -44,7 +44,7 @@ def reference_shuffle(x, w, b, factor, dtype):
     return y + b.astype(dtype)
 
 
-def supports(shape, factor, features, dtype) -> bool:
+def supports(shape, factor, features, dtype, zfold: bool = False) -> bool:
     B, X, Y, Z, C = shape
     f0, f1, f2 = factor
     div = f0 * f1 * f2
@@ -54,11 +54,15 @@ def supports(shape, factor, features, dtype) -> bool:
         return False
     if f2 not in (1, 2):
         return False
+    if zfold and (Z * f2) % 2 != 0:
+        return False
     # lane/sublane alignment for the input block and the factor-dot shapes.
     # (f2*features) % 128: stores narrower than a full lane tile measured
-    # SLOWER than the XLA path (stage3's F=64 f2=1: 8.9 vs 7.2 ms) — the
-    # full-res stage stays on XLA until a folded-output variant lands.
-    if C % 128 != 0 or Z % 8 != 0 or (f2 * features) % 128 != 0:
+    # SLOWER than the XLA path (stage3's F=64 f2=1: 8.9 vs 7.2 ms) — unless
+    # zfold doubles the store lane width (2F=128 for the stage-3 F=64 site
+    # under FOLD96_LAST, where the consumer reads the folded layout).
+    lanes = f2 * features * (2 if zfold else 1)
+    if C % 128 != 0 or Z % 8 != 0 or lanes % 128 != 0:
         return False
     itemsize = jnp.dtype(dtype).itemsize
     vmem = (
@@ -109,7 +113,24 @@ def _impl(x, w, b, factor, dtype, interpret, zfold=False):
     f0, f1, f2 = factor
     cp, F = w.shape
     wt = _scatter_weight(w, factor, dtype)
-    bt = jnp.tile(b.astype(dtype), f2).reshape(1, f2 * F)
+    if zfold and f2 == 1:
+        # f2==1 z-pair fold: the in-kernel store regroup (Y*Z, F) ->
+        # (Y, Z/2, 2F) is a sublane->lane swap Mosaic cannot express
+        # ("unsupported shape cast"). Instead fold the INPUT in HBM — a
+        # free contiguous reshape (B,X,Y,Z,C) -> (B,X,Y,Z/2,2C) — and run
+        # the block-diagonal kron(I2, w_ij) dots: even-z lanes [0:C] map to
+        # out cols [0:F], odd-z lanes [C:2C] to [F:2F] (extra weight
+        # entries exact zeros). The kernel then runs the plain (zfold-off)
+        # path on the widened shapes and its store reshape (Y*Zh, 2F) ->
+        # (Y, Zh, 2F) splits leading dims only.
+        wt2 = jnp.zeros((f0 * f1, 2 * C, 2 * F), dtype)
+        wt = wt2.at[:, :C, :F].set(wt).at[:, C:, F:].set(wt)
+        bt = jnp.tile(b.astype(dtype), 2).reshape(1, 2 * F)
+        x = x.reshape(B, X, Y, Z // 2, 2 * C)
+        Z, C, F = Z // 2, 2 * C, 2 * F
+        zfold = False
+    else:
+        bt = jnp.tile(b.astype(dtype), f2).reshape(1, f2 * F)
     zl, fl = (Z * f2 // 2, 2 * F) if zfold else (Z * f2, F)
     out = pl.pallas_call(
         functools.partial(
