@@ -33,6 +33,23 @@ _DEFAULTS = {
     # — XLA evidently overlaps/fuses the external residual add better than
     # the kernel's extended output dependence chain.
     "PALLAS_FFN_RES": ("0", str),
+    # fuse the decoder pyramid's stage-3 FFN PAIR (x -> x+FFN1 -> +FFN2,
+    # reference hybrid_CTUNet.py:573-576) into ONE kernel: the intermediate
+    # and both residual adds stay in VMEM, dropping two full-tensor
+    # elementwise passes + one kernel-boundary HBM round-trip of the
+    # (8,48,48,96,128) tensor. Device trace priced the pair at 19.1 ms
+    # kernels + 4.1 ms external adds per chunk; measured WIN
+    # (tools/ab_flags_model.py, v5e sw8): TUNet chunk 135.1 -> 131.1 ms,
+    # CTUNet 321.3 -> 317.2. Unlike PALLAS_FFN_RES (a 17 ms LOSS), the
+    # pair kernel removes the whole intermediate round-trip, not just the
+    # add.
+    "PALLAS_FFN_PAIR": ("1", str),
+    # ViT patch embedding: fold patch_norm1 + patch_proj into a stride=patch
+    # VALID conv plus per-patch moment reduce_windows (models/vit3d.py) —
+    # avoids materializing the (B, N, 2048) token matrix through an 8-D
+    # transpose and three fp32 casts (device trace: ~3 ms/chunk). Same
+    # parameter tree; fp32 math reassociated (not bit-exact).
+    "VIT_PATCH_FOLD": ("0", str),
     "PALLAS_ATTN": ("1", str),
     "PALLAS_SCATTER": ("1", str),
     "PALLAS_NORM": ("0", str),

@@ -15,7 +15,12 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import FeedForward, MultiAxisWindowAttention, PixelShuffleLinear
+from .. import flags
+from ..ops import ffn_pallas
+from .layers import (
+    FeedForward, FeedForwardParams, MultiAxisWindowAttention,
+    PixelShuffleLinear, _pallas_ffn_enabled,
+)
 
 
 class UpAttentionBlock(nn.Module):
@@ -59,14 +64,31 @@ class UpAttentionBlock(nn.Module):
                     x, deterministic=deterministic
                 )
             else:
-                x = FeedForward(dropout=dr, residual=True, dtype=self.dtype,
-                                name=f"stage{ind}_ff1")(
-                    x, deterministic=deterministic
+                n_rows = 1
+                for s in x.shape[:-1]:
+                    n_rows *= s
+                inner = int(dim_in * 4)
+                pair_fused = (
+                    flags.PALLAS_FFN_PAIR == "1"
+                    and _pallas_ffn_enabled()
+                    and (dr == 0.0 or deterministic)
+                    and ffn_pallas.supports(n_rows, dim_in, inner, self.dtype)
                 )
-                x = FeedForward(dropout=dr, residual=True, dtype=self.dtype,
-                                name=f"stage{ind}_ff2")(
-                    x, deterministic=deterministic
-                )
+                if pair_fused:
+                    # both residual FFNs in one Pallas kernel; identical
+                    # parameter tree to the two FeedForward modules below
+                    p1 = FeedForwardParams(dim_in, inner, name=f"stage{ind}_ff1")()
+                    p2 = FeedForwardParams(dim_in, inner, name=f"stage{ind}_ff2")()
+                    x = ffn_pallas.fused_ffn_pair(x, p1, p2, dtype=self.dtype)
+                else:
+                    x = FeedForward(dropout=dr, residual=True, dtype=self.dtype,
+                                    name=f"stage{ind}_ff1")(
+                        x, deterministic=deterministic
+                    )
+                    x = FeedForward(dropout=dr, residual=True, dtype=self.dtype,
+                                    name=f"stage{ind}_ff2")(
+                        x, deterministic=deterministic
+                    )
             x = PixelShuffleLinear(
                 tuple(factors[ind]), dim_out, dtype=self.dtype,
                 fold_out=self.fold_last and ind == len(factors) - 1,

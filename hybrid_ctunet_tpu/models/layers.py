@@ -284,6 +284,23 @@ class FeedForward(nn.Module):
         return x + out if self.residual else out
 
 
+class FeedForwardParams(nn.Module):
+    """FeedForward's exact parameter tree ({norm, fc1, fc2}) without the
+    computation — lets a caller hand two consecutive FFNs' parameters to the
+    fused pair kernel (ops/ffn_pallas.fused_ffn_pair) while keeping the
+    checkpoint layout identical to two FeedForward modules."""
+
+    dim: int
+    inner: int
+
+    @nn.compact
+    def __call__(self):
+        ln_w, ln_b = _LNParams(self.dim, name="norm")()
+        w1, b1 = _DenseBiasParams((self.dim, self.inner), name="fc1")()
+        w2, b2 = _DenseBiasParams((self.inner, self.dim), name="fc2")()
+        return (ln_w, ln_b, w1, b1, w2, b2)
+
+
 def _rel_pos_indices(window: int) -> np.ndarray:
     """3D relative-position index table for a (w,w,w) window, token order
     (h, w, f) flattened — reference hybrid_CTUNet.py:472-479."""

@@ -22,7 +22,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import Dense, FeedForward, LayerNorm, maybe_remat
+from .. import flags
+from .layers import (
+    Dense, FeedForward, LayerNorm, _DenseBiasParams, _LNParams, maybe_remat,
+)
 
 
 class ViTAttention(nn.Module):
@@ -134,13 +137,43 @@ class ViT3D(nn.Module):
         gh, gw, gf = X // p1, Y // p2, Z // pf
         patch_dim = C * p1 * p2 * pf
 
-        # (h p1)(w p2)(f pf) c -> tokens (h w f) x features (p1 p2 pf c)
-        t = x.reshape(B, gh, p1, gw, p2, gf, pf, C)
-        t = t.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(B, gh * gw * gf, patch_dim)
+        if flags.VIT_PATCH_FOLD == "1":
+            # Fold patch_norm1 + patch_proj into a strided conv + patch-moment
+            # pools: LN(t) @ W = (t @ (g ⊙ W)) / σ − (μ/σ)(g·W) + β·W, with
+            # t @ (g⊙W) computed directly from the volume as a stride=patch
+            # VALID conv (no materialized (B, N, patch_dim) tensor, no 8-D
+            # transpose, no fp32 re-casts of the token matrix) and μ, σ from
+            # sum / sum-of-squares reduce_windows over each patch block.
+            # Same parameter tree; reassociated fp32 math (not bit-exact).
+            g1, be1 = _LNParams(patch_dim, name="patch_norm1")()
+            wP, bP = _DenseBiasParams((patch_dim, self.dim), name="patch_proj")()
+            win = (1, p1, p2, pf, C)
+            xf = x.astype(jnp.float32)
+            s1 = jax.lax.reduce_window(xf, 0.0, jax.lax.add, win, win, "VALID")
+            s2 = jax.lax.reduce_window(xf * xf, 0.0, jax.lax.add, win, win, "VALID")
+            mu = s1 / float(patch_dim)
+            var = s2 / float(patch_dim) - mu * mu
+            inv = jax.lax.rsqrt(var + 1e-5)  # (B, gh, gw, gf, 1); LN eps
+            # t's feature order is (p1, p2, pf, c) — matches DHWIO with
+            # spatial (X, Y, Z)
+            wFold = (g1[:, None] * wP).reshape(p1, p2, pf, C, self.dim)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), wFold.astype(self.dtype), (p1, p2, pf),
+                "VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            z = (y - mu * jnp.dot(g1, wP)) * inv + jnp.dot(be1, wP)
+            t = z.astype(self.dtype).reshape(B, gh * gw * gf, self.dim)
+            t = t + bP.astype(self.dtype)
+            t = LayerNorm(name="patch_norm2")(t)
+        else:
+            # (h p1)(w p2)(f pf) c -> tokens (h w f) x features (p1 p2 pf c)
+            t = x.reshape(B, gh, p1, gw, p2, gf, pf, C)
+            t = t.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(B, gh * gw * gf, patch_dim)
 
-        t = LayerNorm(name="patch_norm1")(t.astype(self.dtype))
-        t = Dense(self.dim, dtype=self.dtype, name="patch_proj")(t)
-        t = LayerNorm(name="patch_norm2")(t)
+            t = LayerNorm(name="patch_norm1")(t.astype(self.dtype))
+            t = Dense(self.dim, dtype=self.dtype, name="patch_proj")(t)
+            t = LayerNorm(name="patch_norm2")(t)
 
         pos = self.param(
             "pos_embedding", nn.initializers.normal(1.0), (1, gh * gw * gf, self.dim), jnp.float32

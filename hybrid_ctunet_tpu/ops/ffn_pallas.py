@@ -114,6 +114,104 @@ def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
     out_ref[:] = out
 
 
+def _ffn_math(x_dt, lnw, lnb, w1, b1, w2, b2, *, dtype):
+    """One LN -> fc1 -> GELU -> fc2 pass on an in-register row tile.
+
+    Identical op sequence/precision to ``_kernel`` (fp32 LN, bf16 matmul
+    operands with fp32 accumulation, bias in compute dtype, erf GELU with
+    fp32 internals), factored out so the pair kernel can run it twice."""
+    xf = x_dt.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + _LN_EPS)
+    y = (y * lnw[0].astype(jnp.float32) + lnb[0].astype(jnp.float32)).astype(dtype)
+    hidden = w1.shape[1]
+    ck = min(_h_chunk(), hidden)
+    acc = None
+    for j in range(0, hidden, ck):
+        h = jnp.dot(y, w1[:, j : j + ck].astype(dtype), preferred_element_type=jnp.float32)
+        h = h.astype(dtype) + b1[0, j : j + ck].astype(dtype)
+        hf = h.astype(jnp.float32)
+        h = (0.5 * hf * (1.0 + _erf32(hf * 0.7071067811865476))).astype(dtype)
+        p = jnp.dot(h, w2[j : j + ck, :].astype(dtype), preferred_element_type=jnp.float32)
+        acc = p if acc is None else acc + p
+    return acc.astype(dtype) + b2[0].astype(dtype)
+
+
+def _pair_kernel(x_ref, lnw1, lnb1, w11, b11, w12, b12,
+                 lnw2, lnb2, w21, b21, w22, b22, out_ref, *, dtype):
+    """Two back-to-back residual FFNs on one row tile:
+    ``z = y + FFN2(y)`` where ``y = x + FFN1(x)``. The intermediate ``y``
+    (a full-tensor HBM write + read + two separate residual passes in the
+    unfused pipeline) never leaves VMEM. Residual adds are bf16, matching
+    the callers' ``x + FFN(x)``."""
+    x = x_ref[:]
+    y = x + _ffn_math(x, lnw1, lnb1, w11[:], b11, w12[:], b12, dtype=dtype)
+    out_ref[:] = y + _ffn_math(y, lnw2, lnb2, w21[:], b21, w22[:], b22, dtype=dtype)
+
+
+def _fused_ffn_pair_impl(x2d, p1, p2, dtype, interpret):
+    n, c = x2d.shape
+    h = p1[2].shape[1]
+    tn = _row_tile(c, h)
+    n_pad = -(-n // tn) * tn
+    xp = jnp.pad(x2d, ((0, n_pad - n), (0, 0)))
+    vec = lambda v: v.reshape(1, -1)
+    prep = lambda p: [p[2] if i == 2 else p[4] if i == 4 else vec(p[i]) for i in range(6)]
+    param_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    specs = [
+        param_spec((1, c)), param_spec((1, c)), param_spec((c, h)),
+        param_spec((1, h)), param_spec((h, c)), param_spec((1, c)),
+    ]
+    out = pl.pallas_call(
+        functools.partial(_pair_kernel, dtype=dtype),
+        grid=(n_pad // tn,),
+        in_specs=[pl.BlockSpec((tn, c), lambda i: (i, 0)), *specs, *specs],
+        out_specs=pl.BlockSpec((tn, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), dtype),
+        interpret=interpret,
+    )(xp, *prep(p1), *prep(p2))
+    return out[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
+def _fused_ffn_pair(x2d, lnw1, lnb1, w11, b11, w12, b12,
+                    lnw2, lnb2, w21, b21, w22, b22, dtype, interpret):
+    return _fused_ffn_pair_impl(
+        x2d, (lnw1, lnb1, w11, b11, w12, b12),
+        (lnw2, lnb2, w21, b21, w22, b22), dtype, interpret)
+
+
+def _pair_fwd(x2d, lnw1, lnb1, w11, b11, w12, b12,
+              lnw2, lnb2, w21, b21, w22, b22, dtype, interpret):
+    args = (x2d, lnw1, lnb1, w11, b11, w12, b12, lnw2, lnb2, w21, b21, w22, b22)
+    return _fused_ffn_pair(*args, dtype, interpret), args
+
+
+def _pair_bwd(dtype, interpret, res, g):
+    # recompute through the reference path: training numerics unchanged
+    def ref(x, lnw1, lnb1, w11, b11, w12, b12, lnw2, lnb2, w21, b21, w22, b22):
+        y = x + reference_ffn(x, lnw1, lnb1, w11, b11, w12, b12, dtype)
+        return y + reference_ffn(y, lnw2, lnb2, w21, b21, w22, b22, dtype)
+
+    _, vjp = jax.vjp(ref, *res)
+    return vjp(g)
+
+
+_fused_ffn_pair.defvjp(_pair_fwd, _pair_bwd)
+
+
+def fused_ffn_pair(x, params1, params2, *, dtype, interpret=False):
+    """``x -> x2`` where ``x1 = x + FFN1(x)`` and ``x2 = x1 + FFN2(x1)``
+    in one kernel (the decoder pyramid's stage-3 FFN pair,
+    reference hybrid_CTUNet.py:573-576). ``params1``/``params2`` are
+    ``(ln_w, ln_b, w1, b1, w2, b2)`` as stored by FeedForward."""
+    shape = x.shape
+    x2d = x.reshape(-1, shape[-1])
+    out = _fused_ffn_pair(x2d, *params1, *params2, dtype, interpret)
+    return out.reshape(shape)
+
+
 def _row_tile(c: int, h: int) -> int:
     # hidden is streamed in _H_CHUNK slices, so the row tile is bounded by
     # the x/out blocks and the (tn, _H_CHUNK) fp32 GELU temps

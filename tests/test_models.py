@@ -81,6 +81,31 @@ def test_vit_param_count():
     assert n == REF_VIT_PF8, f"ViT pf8 params {n} != reference {REF_VIT_PF8}"
 
 
+def test_vit_patch_fold_matches_standard():
+    """VIT_PATCH_FOLD: the strided-conv + moment-pool patch embedding must
+    match the materialized LN -> Dense path (reassociated fp32 math) and
+    keep the identical parameter tree."""
+    import jax
+    import numpy as np
+    from hybrid_ctunet_tpu import flags
+
+    model = ViT3D(image_size=(32, 32), frames=16, image_patch_size=16,
+                  frame_patch_size=8, dim=64, depth=1, heads=2, dim_head=16,
+                  mlp_dim=128)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 32, 32, 16, 1)), jnp.float32
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+    ref = model.apply(params, x)
+    with flags.override(VIT_PATCH_FOLD="1"):
+        params_f = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(params, x)
+    assert jax.tree_util.tree_structure(params_f) == jax.tree_util.tree_structure(params)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )
+
+
 def test_ctunet_param_count_and_shapes():
     model = CTUNet(out_channels=14, model_depth=101, patch_frame=8)
     n = _count_params(model, (1, 96, 96, 96, 1))

@@ -143,6 +143,70 @@ def test_fused_ffn_interpret_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(g, np.float32), np.asarray(gr, np.float32), atol=2e-2, rtol=2e-2)
 
 
+def test_fused_ffn_pair_interpret_matches_reference(rng):
+    """ops/ffn_pallas.py pair kernel (x + FFN1, then + FFN2, one kernel) vs
+    two sequential unfused residual FFNs; interpreter mode, bf16, ragged
+    row count; grads through the pair's custom VJP."""
+    import jax
+    from hybrid_ctunet_tpu.ops import ffn_pallas
+
+    c, h = 128, 512
+    x = jnp.asarray(rng.standard_normal((3, 7, 11, c)), jnp.bfloat16)
+
+    def ffn_params():
+        return (
+            jnp.asarray(rng.standard_normal((c,)) * 0.1 + 1.0, jnp.float32),
+            jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal((c, h)) * 0.05, jnp.float32),
+            jnp.asarray(rng.standard_normal((h,)) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal((h, c)) * 0.05, jnp.float32),
+            jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32),
+        )
+
+    p1, p2 = ffn_params(), ffn_params()
+
+    def ref(xx):
+        y = xx + ffn_pallas.reference_ffn(xx, *p1, jnp.bfloat16)
+        return y + ffn_pallas.reference_ffn(y, *p2, jnp.bfloat16)
+
+    out = ffn_pallas.fused_ffn_pair(x, p1, p2, dtype=jnp.bfloat16, interpret=True)
+    # two stacked bf16 FFNs: allow 2-ulp-at-magnitude compounding
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref(x), np.float32), atol=8e-2, rtol=2e-2
+    )
+
+    g = jax.grad(lambda xx: jnp.sum(
+        ffn_pallas.fused_ffn_pair(xx, p1, p2, dtype=jnp.bfloat16, interpret=True).astype(jnp.float32) ** 2
+    ))(x)
+    gr = jax.grad(lambda xx: jnp.sum(ref(xx).astype(jnp.float32) ** 2))(x)
+    np.testing.assert_allclose(
+        np.asarray(g, np.float32), np.asarray(gr, np.float32), atol=8e-2, rtol=2e-2
+    )
+
+
+def test_ffn_pair_model_param_tree_identical(rng):
+    """UpAttentionBlock with PALLAS_FFN_PAIR=1 must build the exact same
+    parameter tree as the two-FeedForward branch (checkpoints
+    interchangeable). bf16 so the supports() gate actually engages the
+    FeedForwardParams branch; eval_shape keeps it abstract (no kernel run)."""
+    import jax
+    from hybrid_ctunet_tpu import flags
+    from hybrid_ctunet_tpu.models.decoder_attention import UpAttentionBlock
+
+    x = jnp.zeros((1, 6, 6, 12, 768), jnp.bfloat16)
+    mod = UpAttentionBlock(in_channels=768, dtype=jnp.bfloat16)
+    v0 = jax.eval_shape(lambda: mod.init(jax.random.PRNGKey(0), x))
+    flags.override(PALLAS_FFN_PAIR="1")
+    try:
+        v1 = jax.eval_shape(lambda: mod.init(jax.random.PRNGKey(0), x))
+    finally:
+        flags.refresh()
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: a.shape == b.shape, v0, v1)
+    )
+
+
 def test_fused_window_attention_interpret_matches_reference(rng):
     """ops/attention_pallas.py fused kernel vs the unfused einsum path,
     interpreter mode, bf16, ragged window count."""
