@@ -30,6 +30,18 @@ def main(entry: str = "ctunet", argv=None):
 
 
 def main_worker(args):
+    # Multi-host bootstrap over DCN (reference main_C_TUNet.py:104-121:
+    # dist.init_process_group over tcp:// rendezvous). Single-process jobs
+    # (world_size <= 1) skip it — jax.process_count() stays 1. Must run
+    # BEFORE the first jax.devices()/local_devices() call below.
+    from ..parallel.mesh import initialize_distributed
+
+    initialize_distributed(
+        getattr(args, "dist_url", None),
+        getattr(args, "world_size", 1),
+        getattr(args, "rank", 0),
+    )
+
     if getattr(args, "synthetic", False):
         from ..data.synthetic import write_synthetic_dataset
 

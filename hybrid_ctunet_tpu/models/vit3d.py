@@ -152,15 +152,20 @@ class ViT3D(nn.Module):
             s1 = jax.lax.reduce_window(xf, 0.0, jax.lax.add, win, win, "VALID")
             s2 = jax.lax.reduce_window(xf * xf, 0.0, jax.lax.add, win, win, "VALID")
             mu = s1 / float(patch_dim)
-            var = s2 / float(patch_dim) - mu * mu
+            # E[x^2] - mu^2 can go slightly negative via fp32 cancellation
+            var = jnp.maximum(s2 / float(patch_dim) - mu * mu, 0.0)
             inv = jax.lax.rsqrt(var + 1e-5)  # (B, gh, gw, gf, 1); LN eps
             # t's feature order is (p1, p2, pf, c) — matches DHWIO with
             # spatial (X, Y, Z)
             wFold = (g1[:, None] * wP).reshape(p1, p2, pf, C, self.dim)
+            # conv OUTPUT stays in self.dtype: an fp32 output with bf16
+            # operands breaks the conv VJP under bf16 training (mixed-dtype
+            # cotangent — see the Conv3d note in layers.py); fp32 MXU
+            # accumulation is internal either way, and the downstream
+            # (y - mu ...) arithmetic promotes to fp32 via mu/inv.
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), wFold.astype(self.dtype), (p1, p2, pf),
                 "VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                preferred_element_type=jnp.float32,
             )
             z = (y - mu * jnp.dot(g1, wP)) * inv + jnp.dot(be1, wP)
             t = z.astype(self.dtype).reshape(B, gh * gw * gf, self.dim)

@@ -20,9 +20,14 @@ def initialize_distributed(
     process_id: Optional[int] = None,
 ) -> None:
     """Multi-host bootstrap over DCN (replaces dist.init_process_group,
-    main_C_TUNet.py:119-121). No-op for single-process jobs."""
+    main_C_TUNet.py:119-121). No-op for single-process jobs.
+
+    ``coordinator_address`` accepts the reference's ``--dist-url`` form
+    (``tcp://host:port``) as well as the bare ``host:port`` jax expects."""
     if num_processes is None or num_processes <= 1:
         return
+    if coordinator_address:
+        coordinator_address = coordinator_address.split("://")[-1]
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

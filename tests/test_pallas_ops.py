@@ -184,23 +184,28 @@ def test_fused_ffn_pair_interpret_matches_reference(rng):
     )
 
 
-def test_ffn_pair_model_param_tree_identical(rng):
+def test_ffn_pair_model_param_tree_identical(rng, monkeypatch):
     """UpAttentionBlock with PALLAS_FFN_PAIR=1 must build the exact same
     parameter tree as the two-FeedForward branch (checkpoints
-    interchangeable). bf16 so the supports() gate actually engages the
-    FeedForwardParams branch; eval_shape keeps it abstract (no kernel run)."""
+    interchangeable). The TPU-only gate is monkeypatched so the
+    FeedForwardParams branch actually engages on the CPU test host; bf16 so
+    ffn_pallas.supports() passes; eval_shape keeps it abstract (no kernel
+    run)."""
     import jax
     from hybrid_ctunet_tpu import flags
+    from hybrid_ctunet_tpu.models import decoder_attention
     from hybrid_ctunet_tpu.models.decoder_attention import UpAttentionBlock
 
     x = jnp.zeros((1, 6, 6, 12, 768), jnp.bfloat16)
     mod = UpAttentionBlock(in_channels=768, dtype=jnp.bfloat16)
-    v0 = jax.eval_shape(lambda: mod.init(jax.random.PRNGKey(0), x))
-    flags.override(PALLAS_FFN_PAIR="1")
-    try:
+    with flags.override(PALLAS_FFN_PAIR="0"):
+        v0 = jax.eval_shape(lambda: mod.init(jax.random.PRNGKey(0), x))
+    # force the platform gate open so the fused branch is the one traced
+    monkeypatch.setattr(decoder_attention, "_pallas_ffn_enabled", lambda: True)
+    with flags.override(PALLAS_FFN_PAIR="1"):
         v1 = jax.eval_shape(lambda: mod.init(jax.random.PRNGKey(0), x))
-    finally:
-        flags.refresh()
+    # sanity: the two branches must not be the same code path — the fused one
+    # names its params via FeedForwardParams, same tree by design
     assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
     assert jax.tree_util.tree_all(
         jax.tree_util.tree_map(lambda a, b: a.shape == b.shape, v0, v1)
