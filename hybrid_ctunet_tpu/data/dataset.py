@@ -11,6 +11,8 @@ Capability match for the reference's data layer:
 from __future__ import annotations
 
 import math
+import queue
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -114,6 +116,7 @@ class TrainLoader:
         sampler: Optional[ShardSampler] = None,
         seed: int = 0,
         aug_cfg: Optional[dict] = None,
+        prefetch: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -123,6 +126,14 @@ class TrainLoader:
         self.seed = seed
         self.aug_cfg = aug_cfg or {}
         self.epoch = 0
+        # Host-augmentation/device-step overlap (the reference's DataLoader
+        # runs crops+augs in num_workers=8 background processes with
+        # pin_memory + persistent_workers, data_utils.py:196-216). One
+        # background thread + a bounded queue double-buffers batches so the
+        # accelerator step never waits on host preprocessing; numpy crop/aug
+        # work releases the GIL enough to overlap with the blocking device
+        # fetch. prefetch=0 restores the synchronous path.
+        self.prefetch = prefetch
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -133,7 +144,7 @@ class TrainLoader:
         n = self.sampler.num_samples if self.sampler else len(self.dataset)
         return math.ceil(n / self.batch_size)
 
-    def __iter__(self):
+    def _batches(self):
         idx = self.sampler.indices() if self.sampler else list(range(len(self.dataset)))
         if self.sampler is None:
             rng_perm = np.random.default_rng((self.seed, self.epoch))
@@ -151,3 +162,42 @@ class TrainLoader:
                     imgs.append(ci)
                     labs.append(cl)
             yield np.stack(imgs), np.stack(labs)
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        # Bounded producer thread; identical batch stream to _batches()
+        # (all randomness is derived from (seed, epoch, case, batch) keys,
+        # so overlap changes timing only, never data).
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        _END, _ERR = object(), object()
+
+        def produce():
+            try:
+                for batch in self._batches():
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                q.put(_END)
+            except BaseException as e:  # surface in the consumer
+                q.put((_ERR, e))
+
+        t = threading.Thread(target=produce, daemon=True, name="TrainLoader-prefetch")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()

@@ -394,3 +394,41 @@ def test_invert_to_native_roundtrip_labels(tmp_path, rng):
         if b.sum() >= 100:
             assert dice > 0.8, (organ, dice)
     assert np.mean(dices) > 0.8, dices
+
+
+def test_train_loader_prefetch_identical_stream(tmp_path, rng):
+    """The prefetch thread (reference num_workers overlap,
+    data_utils.py:196-216) must yield the exact same batch stream as the
+    synchronous path — all randomness is keyed, not consumed in order."""
+    root = str(tmp_path / "ds")
+    json_path = write_synthetic_dataset(root, n_train=3, n_val=1, shape=(48, 48, 32))
+    datalist = load_decathlon_datalist(json_path, True, "training", base_dir=root)
+    ds = CachedDataset(datalist, cache_num=3)
+
+    kw = dict(batch_size=2, roi_size=(32, 32, 32), num_samples=2)
+    sync = TrainLoader(ds, prefetch=0, **kw)
+    pre = TrainLoader(ds, prefetch=2, **kw)
+    for epoch in (0, 1):
+        sync.set_epoch(epoch)
+        pre.set_epoch(epoch)
+        a, b = list(sync), list(pre)
+        assert len(a) == len(b) == len(sync)
+        for (ia, la), (ib, lb) in zip(a, b):
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(la, lb)
+
+
+def test_train_loader_prefetch_propagates_errors(tmp_path, rng):
+    """A producer-thread exception must surface in the consumer, not hang."""
+    root = str(tmp_path / "ds")
+    json_path = write_synthetic_dataset(root, n_train=1, n_val=1, shape=(48, 48, 32))
+    datalist = load_decathlon_datalist(json_path, True, "training", base_dir=root)
+    ds = CachedDataset(datalist, cache_num=1)
+    loader = TrainLoader(ds, batch_size=1, roi_size=(32, 32, 32), num_samples=1)
+
+    def boom(idx):
+        raise ValueError("producer failed")
+
+    ds.get = boom
+    with pytest.raises(ValueError, match="producer failed"):
+        list(loader)
