@@ -140,3 +140,68 @@ def test_per_organ_and_report(tmp_path):
         assert lab in text
     assert "Dice_spleen: 1.0000" in text
     assert "dsc:" in text
+
+
+class TestHD95AnalyticGolden:
+    """Hand-computed golden values (no medpy available in this environment:
+    the expected numbers below were derived BY HAND from the published
+    medpy.metric.binary.hd95 algorithm — surface = mask ^ binary_erosion(mask,
+    generate_binary_structure(3, 1)); directed distances = EDT(~ref_surface,
+    sampling=voxelspacing)[pred_surface]; hd95 = np.percentile(hstack(both
+    directions), 95) with linear interpolation — NOT by running any code that
+    shares an author with eval/metrics.py). Reference call site:
+    /root/reference/test_CTUNet_final.py:99-104."""
+
+    @staticmethod
+    def _vol(coords, shape=(12, 12, 12)):
+        m = np.zeros(shape, bool)
+        for c in coords:
+            m[c] = True
+        return m
+
+    def test_single_voxels_axis_distance(self):
+        # Both masks are single voxels -> erosion empties them, the border is
+        # the voxel itself; both directed distance lists are [3.0]; p95 = 3.
+        a = self._vol([(0, 0, 0)])
+        b = self._vol([(3, 0, 0)])
+        assert hd95(a, b) == pytest.approx(3.0, abs=1e-12)
+
+    def test_single_voxels_voxelspacing(self):
+        # Same geometry under anisotropic spacing (2,1,1): EDT sampling makes
+        # the x-gap 3 voxels * 2.0 = 6.0.
+        a = self._vol([(0, 0, 0)])
+        b = self._vol([(3, 0, 0)])
+        assert hd95(a, b, voxelspacing=(2.0, 1.0, 1.0)) == pytest.approx(6.0, abs=1e-12)
+
+    def test_shifted_cubes_percentile_interp(self):
+        # 2x2x2 cubes offset by +5 in x. Every cube voxel is border (the
+        # conn-1 erosion of a 2-cube is empty). Directed distances each way:
+        # four voxels at dist 5, four at dist 4 -> combined sorted list is
+        # eight 4s then eight 5s. p95 at linear interpolation: index
+        # 0.95*(16-1)=14.25 lies between two 5s -> exactly 5.0.
+        a = self._vol([(x, y, z) for x in (0, 1) for y in (0, 1) for z in (0, 1)])
+        b = self._vol([(x, y, z) for x in (5, 6) for y in (0, 1) for z in (0, 1)])
+        assert hd95(a, b) == pytest.approx(5.0, abs=1e-12)
+
+    def test_point_vs_line_asymmetric(self):
+        # pred = single voxel at the line's end; gt = 10-voxel line along x.
+        # A 1-wide line has no conn-1 interior -> all 10 voxels are border.
+        # pred->gt: [0]. gt->pred: [0,1,...,9]. Combined sorted:
+        # [0,0,1,2,3,4,5,6,7,8,9]; p95 at index 0.95*10=9.5 interpolates
+        # between 8 and 9 -> 8.5.
+        a = self._vol([(0, 0, 0)])
+        b = self._vol([(x, 0, 0) for x in range(10)])
+        assert hd95(a, b) == pytest.approx(8.5, abs=1e-12)
+
+    def test_hollow_vs_filled_cube_erosion_semantics(self):
+        # gt = 4x4x4 filled cube, pred = same cube minus its single interior
+        # 2x2x2 core... both have the SAME conn-1 border (the shell), so all
+        # surface distances are 0 regardless of the differing interiors:
+        # hd95 must be exactly 0 — this pins the erosion-border semantics
+        # (a naive "all mask voxels" surface would see nonzero distances).
+        filled = self._vol(
+            [(x, y, z) for x in range(4) for y in range(4) for z in range(4)]
+        )
+        hollow = filled.copy()
+        hollow[1:3, 1:3, 1:3] = False
+        assert hd95(hollow, filled) == pytest.approx(0.0, abs=1e-12)
