@@ -455,55 +455,16 @@ class PixelShuffleLinear(nn.Module):
             return shuffle_pallas.fused_pixel_shuffle(
                 x, w, b, tuple(self.factor), self.dtype, False, self.fold_out
             )
-        # Standalone the K=C' per-voxel Linear is pathological (~1.3 TF/s at
-        # stage 3) and the block-diag matmul ~10x faster — but END TO END it
-        # regresses 9.71 -> 9.31 vol/min (the fourth standalone-vs-in-model
-        # reversal: XLA fuses the small Dense + shuffle permutes into their
-        # neighbors). Default off; kept for study with an equivalence test.
-        if flags.SHUFFLE_CT == "1" and div > 1:
-            # native strided transposed-conv formulation: kernel (f0,f1,f2)
-            # with one live channel block per tap — XLA's transposed-conv
-            # emitter produces the interleaved output directly in the
-            # channels-minor layout consumers want, avoiding the 8-D
-            # transpose + the layout copies it forces (device trace: ~14
-            # ms/chunk of `copy` ops around stage3_shuffle/decoder0).
-            # Identical math and parameter tree.
-            w, b = _DenseBiasParams((cp, self.features), name="to_out")()
-            wt = jnp.zeros((f0, f1, f2, C, self.features), self.dtype)
-            idx = jnp.arange(cp)
-            for i in range(f0):
-                for j in range(f1):
-                    for k in range(f2):
-                        ch = ((idx * f0 + i) * f1 + j) * f2 + k
-                        wt = wt.at[i, j, k, ch, :].set(w.astype(self.dtype))
-            from jax import lax as _lax
+        if flags.SHUFFLE_CT == "1" or flags.SHUFFLE_BD == "1":
+            # quarantined default-off reformulations (conv-transpose /
+            # block-diagonal matmul) — both measured in-model losses from
+            # XLA fusing the small per-voxel Dense + shuffle permutes into
+            # their neighbors; see models/experimental.py
+            from .experimental import pixel_shuffle_experimental
 
-            pads = [(fi - 1, fi - 1) for fi in (f0, f1, f2)]
-            dn = _lax.conv_dimension_numbers(
-                x.shape, (f0, f1, f2, self.features, C), ("NDHWC", "DHWIO", "NDHWC")
-            )
-            y = _lax.conv_transpose(
-                x.astype(self.dtype), jnp.swapaxes(wt, -1, -2), (f0, f1, f2), pads,
-                dimension_numbers=dn, transpose_kernel=True,
-                preferred_element_type=self.dtype,
-            )
-            y = y + b.astype(self.dtype)
-            return fold_z(y) if self.fold_out else y
-        if flags.SHUFFLE_BD == "1" and div > 1:
-            w, b = _DenseBiasParams((cp, self.features), name="to_out")()
-            F = self.features
-            wb = jnp.zeros((C, div * F), w.dtype)
-            for o in range(div):  # channel ci = cp_i*div + o -> out col o*F+f
-                wb = wb.at[o::div, o * F : (o + 1) * F].set(w)
-            y = jnp.dot(
-                x.astype(self.dtype), wb.astype(self.dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(self.dtype)
-            y = y + jnp.tile(b.astype(self.dtype), div)
-            y = y.reshape(B, X, Y, Z, f0, f1, f2, F)
-            y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
-            y = y.reshape(B, X * f0, Y * f1, Z * f2, F)
-            return fold_z(y) if self.fold_out else y
+            y = pixel_shuffle_experimental(self, x)
+            if y is not None:
+                return y
         x = x.reshape(B, X, Y, Z, cp, f0, f1, f2)
         x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)  # (B, X, f0, Y, f1, Z, f2, C')
         if self.fold_out:
@@ -678,29 +639,19 @@ class ResBlock(nn.Module):
         stride = _triple(self.stride)
         needs_proj = cin != self.features or any(s != 1 for s in stride)
 
-        # Winograd fused-IN chain (flags.WINOGRAD == "2"): conv kernels emit
-        # the IN partial sums, the IN normalize+LeakyReLU rides the next
-        # conv's pad+fold pass (or the residual-add epilogue) — no separate
-        # stats/normalize passes touch HBM. Identical math to the default
-        # path (see ops/winograd_pallas.py v2 notes).
         f = self.features
         k3 = _triple(self.kernel_size) == (3, 3, 3)
 
-        def _wino_ok(c_in, shape):
-            from ..ops import winograd_pallas
+        # WINOGRAD=2 fused-IN chain — experimental, default off; gate
+        # evaluated pre-unfold since it requires the standard layout
+        wino2 = False
+        if flags.WINOGRAD == "2":
+            from .experimental import wino2_engages
 
-            return k3 and winograd_pallas.supports(
-                (*shape[:4], c_in), (3, 3, 3, c_in, f), (1, 1, 1)
-            )
+            wino2 = wino2_engages(self, x, stride, f, k3)
 
-        fused2 = (
-            not self.fold_in
-            and flags.WINOGRAD == "2"
-            and stride == (1, 1, 1)
-            and _wino_ok(f, x.shape)
-        )
         altfold = (
-            not fused2
+            not wino2
             and flags.ALTFOLD == "1"
             and k3
             and stride == (1, 1, 1)
@@ -773,87 +724,25 @@ class ResBlock(nn.Module):
             x = unfold_z(x)
             skip = unfold_z(skip) if skip is not None else None
 
-        zfold_res = (
-            not fused2
-            and flags.ZFOLD == "1"
-            and flags.ZFOLD_RES == "1"
-            and k3
-            and stride == (1, 1, 1)
-            and f <= flags.ZFOLD_RES_CH
-            and f % 2 == 0
-            and x.shape[3] % 2 == 0
-            and (skip is None or needs_proj)
-            and cin >= 16
-        )
-        if zfold_res:
-            # z-folded full-res block: every stride-1 conv runs in the
-            # fold_z layout at 2x lane width / 2x structured-sparse MACs.
-            # Default OFF (flags.py ZFOLD_RES): standalone convs win
-            # 1.25-1.30x and two blocks win in isolation (CatConvBlock
-            # 92.7 -> 83.3 ms, UpConvBlock 55.7 -> 49.4,
-            # tools/ab_zfold_res.py), but the full model LOSES
-            # (tools/ab_zfold_model.py: TUNet chunk 190 -> 202 ms) — the
-            # per-block fold/unfold relayouts break XLA's cross-block
-            # fusion. Kept as a gated path: identical math and parameter
-            # tree, pinned by tests/test_conv.py::test_zfold_resblock_*.
-            xf = fold_z(x)
-            sf = fold_z(skip) if skip is not None else None
-            if skip is None:
-                y1 = Conv3d(f, 3, 1, dtype=self.dtype, name="conv1")(xf, folded=True)
-            else:
-                y1 = _SplitInputConv3d(f, 3, 1, dtype=self.dtype,
-                                       name="conv1")(xf, sf, folded=True)
-            y1 = instance_norm_leaky_folded(y1)
-            out = Conv3d(f, 3, 1, dtype=self.dtype, name="conv2")(y1, folded=True)
-            out = instance_norm_folded(out)
-            if needs_proj:
-                if skip is None:
-                    residual = Conv3d(f, 1, 1, dtype=self.dtype, name="conv3")(xf, folded=True)
-                else:
-                    residual = _SplitInputConv3d(f, 1, 1, dtype=self.dtype,
-                                                 name="conv3")(xf, sf, folded=True)
-                residual = instance_norm_folded(residual)
-            else:
-                residual = xf
-            res = leaky_relu(out + residual)
-            return res if self.fold_out else unfold_z(res)
+        if wino2 or (flags.ZFOLD == "1" and flags.ZFOLD_RES == "1"):
+            # quarantined default-off variants (ZFOLD_RES, WINOGRAD=2) —
+            # behavior-identical, measured end-to-end losses on the
+            # flagship config; see models/experimental.py
+            from .experimental import resblock_experimental
 
-        if fused2:
-            n_vox = x.shape[1] * x.shape[2] * x.shape[3]
-            fused1 = skip is None and _wino_ok(x.shape[-1], x.shape)
-            if fused1:
-                y1, a1, b1 = Conv3d(f, 3, 1, dtype=self.dtype, name="conv1")(
-                    x, emit_stats=True
-                )
-                sc1, bi1 = stats_to_affine(a1, b1, n_vox)
-                y2, a2, b2 = Conv3d(f, 3, 1, dtype=self.dtype, name="conv2")(
-                    y1, in_affine=(sc1, bi1), in_act=True, emit_stats=True
-                )
-            else:
-                if skip is None:
-                    y1 = Conv3d(f, self.kernel_size, self.stride,
-                                dtype=self.dtype, name="conv1")(x)
-                else:
-                    y1 = _SplitInputConv3d(f, self.kernel_size, self.stride,
-                                           dtype=self.dtype, name="conv1")(x, skip)
-                y2, a2, b2 = Conv3d(f, 3, 1, dtype=self.dtype, name="conv2")(
-                    instance_norm_leaky(y1), emit_stats=True
-                )
-            sc2, bi2 = stats_to_affine(a2, b2, n_vox)
-            out = (
-                y2.astype(jnp.float32) * sc2[:, None, None, None, :]
-                + bi2[:, None, None, None, :]
-            ).astype(y2.dtype)
+            res = resblock_experimental(self, x, skip, stride, needs_proj, f, wino2)
+            if res is not None:
+                return res
+
+        if skip is None:
+            out = Conv3d(self.features, self.kernel_size, self.stride,
+                         dtype=self.dtype, name="conv1")(x)
         else:
-            if skip is None:
-                out = Conv3d(self.features, self.kernel_size, self.stride,
-                             dtype=self.dtype, name="conv1")(x)
-            else:
-                out = _SplitInputConv3d(self.features, self.kernel_size, self.stride,
-                                        dtype=self.dtype, name="conv1")(x, skip)
-            out = instance_norm_leaky(out)
-            out = Conv3d(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv2")(out)
-            out = instance_norm(out)
+            out = _SplitInputConv3d(self.features, self.kernel_size, self.stride,
+                                    dtype=self.dtype, name="conv1")(x, skip)
+        out = instance_norm_leaky(out)
+        out = Conv3d(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv2")(out)
+        out = instance_norm(out)
 
         if needs_proj:
             if skip is None:

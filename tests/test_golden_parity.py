@@ -184,3 +184,103 @@ def test_tunet_golden_full(rng):
     q0, q96 = model.apply(params, jnp.asarray(x))
     for o, w_ in zip((q0, q96), want):
         np.testing.assert_allclose(np.asarray(o), w_, rtol=5e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_ctunet_dropout_train_trajectory_matches_torch(rng, monkeypatch):
+    """5-step CTUNet dr=0.2 TRAIN-loss trajectory vs the torch reference
+    (VERDICT r2 missing #4 / next #7): shared imported initial weights, the
+    exact joint DS loss (trainer_CTUNet.py:90-103), AdamW(lr 1e-4, wd 1e-5 —
+    main_CTUNet.py:190-199), and dropout ACTIVE — made deterministic on BOTH
+    sides by an all-kept mask with the train-mode 1/(1-p) scaling. That pins
+    the dropout SITES and scalings exactly (a missing or extra dropout site
+    scales activations differently and diverges the trajectories), which
+    random masks cannot. fp32 both sides."""
+    import scipy.ndimage as ndi
+
+    from hybrid_ctunet_tpu.models import CTUNet
+    from hybrid_ctunet_tpu.train.state import create_train_state
+    from hybrid_ctunet_tpu.train.steps import make_train_step
+
+    p_drop = 0.2
+    n_steps = 5
+
+    # --- deterministic "dropout": all units kept, train-mode scaling ---
+    def torch_dropout(x, p=0.5, training=False, inplace=False):
+        return x / (1.0 - p) if (training and p > 0) else x
+
+    monkeypatch.setattr(torch.nn.functional, "dropout", torch_dropout)
+
+    import flax.linen as fnn
+
+    def flax_dropout(self, x, deterministic=None, rng=None):
+        det = self.deterministic if deterministic is None else deterministic
+        return x if (det or self.rate == 0.0) else x / (1.0 - self.rate)
+
+    monkeypatch.setattr(fnn.Dropout, "__call__", flax_dropout)
+
+    ref = RefCTUNet(
+        in_channels=1, dim_conv_stem=64, out_channels=14, model_depth=50,
+        img_size=(96, 96), frames=48, patch_frame=8, dropout_rate=p_drop,
+    ).train()
+    # import the INITIAL weights before any torch step mutates them
+    params = ti.convert_ctunet(_sd(ref), model_depth=50)
+
+    x = rng.standard_normal((1, 96, 96, 48, 1)).astype(np.float32)
+    y = rng.integers(0, 14, (1, 96, 96, 48, 1)).astype(np.float32)
+    xt, yt = _ncdhw(x), _ncdhw(y)
+    # DS targets exactly as trainer_CTUNet.py:93-94 (CPU scipy zoom, order 0)
+    y_half = torch.from_numpy(
+        ndi.zoom(yt.numpy(), (1, 1, 0.5, 0.5, 1.0), order=0, prefilter=False)
+    )
+    y_quarter = torch.from_numpy(
+        ndi.zoom(yt.numpy(), (1, 1, 0.25, 0.25, 0.5), order=0, prefilter=False)
+    )
+
+    def torch_dice_ce(logits, labels):
+        n_classes = logits.shape[1]
+        probs = torch.softmax(logits, dim=1)
+        lab = labels[:, 0].long()
+        onehot = (
+            torch.nn.functional.one_hot(lab, n_classes).permute(0, 4, 1, 2, 3).float()
+        )
+        dims = (2, 3, 4)
+        inter = (onehot * probs).sum(dims)
+        denom = (onehot**2).sum(dims) + (probs**2).sum(dims)
+        dice = (1.0 - (2 * inter + 0.0) / (denom + 1e-6)).mean()
+        ce = torch.nn.functional.cross_entropy(logits, lab)
+        return dice + ce
+
+    opt = torch.optim.AdamW(ref.parameters(), lr=1e-4, weight_decay=1e-5)
+    torch_losses = []
+    for _ in range(n_steps):
+        (r0, r48, r24), (v0, v96) = ref(xt)
+        loss1 = torch_dice_ce(r0, yt) + 0.5 * (
+            torch_dice_ce(r48, y_half) + 0.5 * torch_dice_ce(r24, y_quarter)
+        )
+        loss2 = torch_dice_ce(v0, yt) + torch_dice_ce(v96, yt)
+        loss = loss1 + 0.5 * loss2
+        torch_losses.append(float(loss))
+        for p in ref.parameters():
+            p.grad = None
+        loss.backward()
+        opt.step()
+
+    model = CTUNet(
+        out_channels=14, model_depth=50, img_size=(96, 96), frames=48,
+        patch_frame=8, dropout_rate=p_drop,
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0), jnp.asarray(x))
+    state = state.replace(params=params["params"])
+    step = jax.jit(make_train_step("ctunet", dropout=True))
+    im, lb = jnp.asarray(x), jnp.asarray(y)
+    our_losses = []
+    for _ in range(n_steps):
+        state, metrics = step(state, im, lb, 1e-4)
+        our_losses.append(float(metrics["loss"]))
+
+    # losses are O(3-8); small fp reassociation diffs amplify through AdamW's
+    # g/sqrt(v) normalization over steps — tolerance loose enough for that,
+    # tight enough that a wrong dropout site/scale (>= (1/0.8)x on a whole
+    # activation tensor) fails decisively
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=3e-3, atol=3e-3)
