@@ -112,6 +112,18 @@ _DEFAULTS = {
     # the 2x2 xy space-to-depth — Cin 4 -> 16, Cout 64 -> 256; 13.6 -> 4.3
     # ms standalone (tools/probe_stem.py)
     "STEM_Z4": ("1", str),
+    # fused Pallas k==s transposed conv (ops/shuffle_pallas.py
+    # fused_transp_conv — the pixel-shuffle factor-dot kernel with a dense
+    # per-factor weight): "0" off | "fold" only at fold_out sites (the
+    # FOLD96_MID res_decoder0 upsample, where the folded store is 128 lanes
+    # and the consumer reads the fold layout natively) | "1" every
+    # supported site. Default "fold": measured WIN (tools/ab_flags_model,
+    # v5e sw8) CTUNet chunk 317.4 -> 313.0 ms, TUNet untouched (bit-exact;
+    # it has no k==s transposed conv). The XLA native path priced this site
+    # at ~12.9 ms (conv 4.6 + format 5.1 + fold reshape 3.1, device trace);
+    # model-level equivalence: vit branch bit-exact, res logits within
+    # bf16 rounding-order noise (rel ~1.3e-2, tools/equiv_flags_model).
+    "TRANSP_PALLAS": ("fold", str),
     "ZPAIR_MAX_COUT": ("64", int),
     # whole-stage z-folded ResNet bottlenecks (ops/conv.py conv3d_folded):
     # stages whose planes <= ZFOLD_CH run every block in the z-folded layout

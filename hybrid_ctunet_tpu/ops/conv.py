@@ -401,6 +401,18 @@ def conv_transpose3d_same(
     B, X, Y, Z, Cin = x.shape
     Cout = w.shape[-1]
 
+    tp = flags.TRANSP_PALLAS
+    if (
+        tuple(k) == tuple(s)
+        and (tp == "1" or (tp == "fold" and fold_out))
+        and jax.default_backend() == "tpu"
+    ):
+        from . import shuffle_pallas
+
+        if shuffle_pallas.transp_supports(x.shape, w.shape, preferred_dtype, fold_out):
+            return shuffle_pallas.fused_transp_conv(
+                x, w, preferred_dtype, False, fold_out
+            )
     if tuple(k) == tuple(s) and flags.TRANSP_NATIVE != "1":
         # out[b, x*s0+d0, y*s1+d1, z*s2+d2, co] = sum_ci x[b,x,y,z,ci] * w[d0,d1,d2,ci,co]
         w2 = w.reshape(k[0] * k[1] * k[2] * Cin, Cout).reshape(k[0], k[1], k[2], Cin, Cout)

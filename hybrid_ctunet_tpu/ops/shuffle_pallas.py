@@ -108,11 +108,12 @@ def _kernel(x_ref, wt_ref, b_ref, out_ref, *, factor, features, dtype, zfold):
             out_ref[0, 0, i, :, j, :, :] = y.reshape(shp)
 
 
-def _impl(x, w, b, factor, dtype, interpret, zfold=False):
+def _impl(x, w, b, factor, dtype, interpret, zfold=False, wt=None):
     B, X, Y, Z, C = x.shape
     f0, f1, f2 = factor
-    cp, F = w.shape
-    wt = _scatter_weight(w, factor, dtype)
+    F = w.shape[-1]
+    if wt is None:
+        wt = _scatter_weight(w, factor, dtype)
     if zfold and f2 == 1:
         # f2==1 z-pair fold: the in-kernel store regroup (Y*Z, F) ->
         # (Y, Z/2, 2F) is a sublane->lane swap Mosaic cannot express
@@ -174,3 +175,92 @@ def _bwd(factor, dtype, interpret, zfold, res, g):
 
 
 fused_pixel_shuffle.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# kernel==stride transposed conv: the SAME kernel with a per-factor DENSE
+# weight. out[b, x*f0+i, y*f1+j, z*f2+k, f] = dot(x[b,x,y,z,:], w[i,j,k,:,f])
+# — each (i, j) factor dot reads the FULL input channels against its own
+# (C, f2*F) weight block instead of the shuffle's zero-padded channel slice.
+# Target site: CTUNet res_decoder0's (2,2,1) 128->64 upsample, which XLA
+# prices at ~12.9 ms/chunk (conv 4.6 + format 5.1 + fold reshape 3.1,
+# device trace) against a ~3 ms traffic floor.
+# ---------------------------------------------------------------------------
+
+
+def reference_transp_kxs(x, w, dtype):
+    """The einsum + interleave path of ops/conv.py conv_transpose3d_same
+    (k == s case, standard-layout output)."""
+    B, X, Y, Z, Cin = x.shape
+    k0, k1, k2 = w.shape[:3]
+    Cout = w.shape[-1]
+    y = jnp.einsum(
+        "bxyzc,ijkco->bxyzijko", x.astype(dtype), w.astype(dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return y.reshape(B, X * k0, Y * k1, Z * k2, Cout)
+
+
+def transp_supports(x_shape, w_shape, dtype, zfold: bool) -> bool:
+    B, X, Y, Z, C = x_shape
+    f0, f1, f2 = w_shape[:3]
+    F = w_shape[-1]
+    if w_shape[3] != C or dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    if f2 not in (1, 2):
+        return False
+    if zfold and (Z * f2) % 2 != 0:
+        return False
+    lanes = f2 * F * (2 if zfold and f2 == 1 else 1)
+    if C % 128 != 0 or Z % 8 != 0 or lanes % 128 != 0:
+        return False
+    # small-M blocks (Y*Z rows) under ~1024 rows leave the MXU idle — the
+    # deep fusion-decoder sites (6..24^3) stay on XLA
+    if Y * Z < 1024:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    vmem = (
+        Y * Z * C
+        + f0 * f1 * (2 * C if zfold and f2 == 1 else C) * f2 * F * (2 if zfold and f2 == 1 else 1)
+        + f0 * f1 * Y * Z * f2 * F * (2 if zfold and f2 == 1 else 1)
+    ) * itemsize
+    return vmem < _VMEM_BUDGET
+
+
+def _prep_transp_weight(w, dtype):
+    """(f0, f1, f2, C, F) -> (f0*f1, C, f2*F): W[i*f1+j, c, k*F+f]."""
+    f0, f1, f2, C, F = w.shape
+    return (
+        w.astype(dtype).transpose(0, 1, 3, 2, 4).reshape(f0 * f1, C, f2 * F)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_transp_conv(x, w, dtype, interpret=False, zfold=False):
+    """k==s transposed conv (bias-free) via the fused factor-dot kernel.
+    ``zfold=True`` emits the fold_z view of the output (the FOLD96_MID
+    consumer layout) — element-identical to fold_z(reference)."""
+    f0, f1, f2 = w.shape[:3]
+    F = w.shape[-1]
+    wt = _prep_transp_weight(w, dtype)
+    zero_b = jnp.zeros((F,), dtype)
+    return _impl(
+        x, w.reshape(-1, F), zero_b, (f0, f1, f2), dtype, interpret, zfold, wt=wt
+    )
+
+
+def _t_fwd(x, w, dtype, interpret, zfold):
+    return fused_transp_conv(x, w, dtype, interpret, zfold), (x, w)
+
+
+def _t_bwd(dtype, interpret, zfold, res, g):
+    x, w = res
+    if zfold:
+        B, X2, Y2, Zh, F2 = g.shape
+        g = g.reshape(B, X2, Y2, Zh * 2, F2 // 2)
+    _, vjp = jax.vjp(lambda x_, w_: reference_transp_kxs(x_, w_, dtype), x, w)
+    return vjp(g)
+
+
+fused_transp_conv.defvjp(_t_fwd, _t_bwd)

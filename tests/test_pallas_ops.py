@@ -442,3 +442,75 @@ def test_pixel_shuffle_linear_pallas_gate(rng):
         np.asarray(got, np.float32), np.asarray(base, np.float32),
         atol=2e-2, rtol=2e-2,
     )
+
+
+@pytest.mark.parametrize("zfold", [False, True])
+def test_fused_transp_conv_interpret_matches_reference(rng, zfold):
+    """ops/shuffle_pallas.py fused_transp_conv (k==s transposed conv via the
+    factor-dot kernel) vs the einsum+interleave reference, interpreter mode,
+    both the standard and the fold_z output layouts."""
+    import jax
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu.ops import shuffle_pallas as sp
+    from hybrid_ctunet_tpu.ops.conv import fold_z
+
+    B, X, Y, Z, C = 1, 2, 8, 8, 128
+    F = 64
+    w = jnp.asarray(rng.standard_normal((2, 2, 1, C, F)) * 0.05, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, X, Y, Z, C)), jnp.float32)
+
+    want = sp.reference_transp_kxs(x, w, jnp.float32)
+    if zfold:
+        want = fold_z(want)
+    got = sp.fused_transp_conv(x, w, jnp.float32, True, zfold)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+
+    # VJP routes through the reference path
+    def loss(xx, ww):
+        out = sp.fused_transp_conv(xx, ww, jnp.float32, True, zfold)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+
+    def loss_ref(xx, ww):
+        out = sp.reference_transp_kxs(xx, ww, jnp.float32)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r), atol=1e-3, rtol=1e-3)
+
+
+def test_fused_transp_conv_f2_2_interpret(rng):
+    """(2,2,2) stride site (CUNet/CTUNet fusion upsamples), f2=2 path."""
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu.ops import shuffle_pallas as sp
+
+    B, X, Y, Z, C = 1, 2, 16, 64, 128
+    F = 64
+    w = jnp.asarray(rng.standard_normal((2, 2, 2, C, F)) * 0.05, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, X, Y, Z, C)), jnp.float32)
+    want = sp.reference_transp_kxs(x, w, jnp.float32)
+    got = sp.fused_transp_conv(x, w, jnp.float32, True, False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_conv_transpose_same_transp_pallas_gate_matches(rng):
+    """conv_transpose3d_same under TRANSP_PALLAS must stay numerically
+    identical (on CPU the gate is TPU-only, so this pins the fallback; the
+    real-chip A/B covers the kernel path)."""
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu import flags
+    from hybrid_ctunet_tpu.ops.conv import conv_transpose3d_same
+
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((2, 2, 1, 128, 64)) * 0.05, jnp.float32)
+    base = conv_transpose3d_same(x, w, (2, 2, 1), fold_out=True)
+    with flags.override(TRANSP_PALLAS="fold"):
+        got = conv_transpose3d_same(x, w, (2, 2, 1), fold_out=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-5, rtol=1e-5)
