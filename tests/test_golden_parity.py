@@ -199,11 +199,14 @@ def test_ctunet_dropout_train_trajectory_matches_torch(rng, monkeypatch):
     import scipy.ndimage as ndi
 
     from hybrid_ctunet_tpu.models import CTUNet
-    from hybrid_ctunet_tpu.train.state import create_train_state
     from hybrid_ctunet_tpu.train.steps import make_train_step
 
     p_drop = 0.2
-    n_steps = 5
+    n_steps = 3
+    # reduced ViT keeps the torch-CPU side ~80 s/step (full hidden-768 d12
+    # timed out a 50-min budget); every dropout site still fires, and the
+    # conv/fusion branch runs at full width
+    small = dict(num_depths=2, hidden_size=256, mlp_dim=512, num_heads=4)
 
     # --- deterministic "dropout": all units kept, train-mode scaling ---
     def torch_dropout(x, p=0.5, training=False, inplace=False):
@@ -222,9 +225,10 @@ def test_ctunet_dropout_train_trajectory_matches_torch(rng, monkeypatch):
     ref = RefCTUNet(
         in_channels=1, dim_conv_stem=64, out_channels=14, model_depth=50,
         img_size=(96, 96), frames=48, patch_frame=8, dropout_rate=p_drop,
+        **small,
     ).train()
     # import the INITIAL weights before any torch step mutates them
-    params = ti.convert_ctunet(_sd(ref), model_depth=50)
+    params = ti.convert_ctunet(_sd(ref), model_depth=50, depth=small["num_depths"])
 
     x = rng.standard_normal((1, 96, 96, 48, 1)).astype(np.float32)
     y = rng.integers(0, 14, (1, 96, 96, 48, 1)).astype(np.float32)
@@ -268,19 +272,37 @@ def test_ctunet_dropout_train_trajectory_matches_torch(rng, monkeypatch):
 
     model = CTUNet(
         out_channels=14, model_depth=50, img_size=(96, 96), frames=48,
-        patch_frame=8, dropout_rate=p_drop,
+        patch_frame=8, dropout_rate=p_drop, **small,
     )
-    state = create_train_state(model, jax.random.PRNGKey(0), jnp.asarray(x))
-    state = state.replace(params=params["params"])
-    step = jax.jit(make_train_step("ctunet", dropout=True))
-    im, lb = jnp.asarray(x), jnp.asarray(y)
-    our_losses = []
-    for _ in range(n_steps):
-        state, metrics = step(state, im, lb, 1e-4)
-        our_losses.append(float(metrics["loss"]))
+    # build the state straight from the imported params — model.init would
+    # cost minutes of XLA:CPU compile only to be overwritten; remat off
+    # (numerics-neutral, halves the backward compile on this 1-core host)
+    from hybrid_ctunet_tpu.models.layers import set_remat_blocks
+    from hybrid_ctunet_tpu.train.state import TrainState, make_optimizer
 
-    # losses are O(3-8); small fp reassociation diffs amplify through AdamW's
-    # g/sqrt(v) normalization over steps — tolerance loose enough for that,
-    # tight enough that a wrong dropout site/scale (>= (1/0.8)x on a whole
-    # activation tensor) fails decisively
-    np.testing.assert_allclose(our_losses, torch_losses, rtol=3e-3, atol=3e-3)
+    set_remat_blocks(False)
+    try:
+        state = TrainState.create(
+            apply_fn=model.apply, params=params["params"],
+            tx=make_optimizer("adamw", reg_weight=1e-5),
+        )
+        step = jax.jit(make_train_step("ctunet", dropout=True))
+        im, lb = jnp.asarray(x), jnp.asarray(y)
+        our_losses = []
+        for _ in range(n_steps):
+            state, metrics = step(state, im, lb, 1e-4)
+            our_losses.append(float(metrics["loss"]))
+    finally:
+        set_remat_blocks(True)
+
+    # Measured on this host: torch [9.8789, 9.7178, 9.5892] vs ours
+    # [9.8794, 9.7374, 9.6153] — step 0 matches to 5e-5 (pure fwd+loss
+    # parity with dropout scaling active); steps 1-2 drift ~0.25%: AdamW's
+    # first updates are ~sign(g)*lr, and the sign flips under 1e-6 numeric
+    # noise for near-zero grads. Tolerance sized for that drift while a
+    # wrong dropout site/scale (a (1/0.8)x factor on a whole activation
+    # tensor) fails by orders of magnitude.
+    np.testing.assert_allclose(
+        our_losses[:1], torch_losses[:1], rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=6e-3, atol=6e-3)
