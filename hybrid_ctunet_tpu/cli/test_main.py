@@ -50,6 +50,22 @@ def _label_of(case):
     return lab[..., 0] if lab.ndim == 4 else lab
 
 
+def _eval_mesh(args):
+    """Window-batch parallelism for evaluation: with ``--distributed`` and
+    >1 local device, shard the window-chunk axis over a ('data',) mesh
+    (each chip predicts its chunk subset into a local canvas; one
+    cross-device sum in finalize). The reference's eval is single-GPU only
+    — this is the TPU-native scaling of SURVEY.md §5 "long-volume
+    handling"."""
+    import jax as _jax
+
+    from ..parallel import make_mesh
+
+    if getattr(args, "distributed", False) and len(_jax.devices()) > 1:
+        return make_mesh()
+    return None
+
+
 def _single_engine(model, args, overlap=None):
     def predictor(x, params):
         return model.apply({"params": params}, x)[0]
@@ -57,6 +73,7 @@ def _single_engine(model, args, overlap=None):
     return SlidingWindowEngine(
         predictor, (args.roi_x, args.roi_y, args.roi_z), sw_batch_size=4,
         overlap=args.infer_overlap if overlap is None else overlap, mode="gaussian",
+        mesh=_eval_mesh(args),
     )
 
 
@@ -69,6 +86,7 @@ def _dual_engine(model, args, overlap=None):
         predictor, (args.roi_x, args.roi_y, args.roi_z), sw_batch_size=4,
         overlap=args.infer_overlap if overlap is None else overlap, mode="gaussian",
         num_outputs=2,
+        mesh=_eval_mesh(args),
     )
 
 
@@ -174,7 +192,7 @@ def test_final(argv=None):
 
     eng_ct = SlidingWindowEngine(
         _ct_res_only, (args.roi_x, args.roi_y, args.roi_z), sw_batch_size=4,
-        overlap=0.5, mode="gaussian",
+        overlap=0.5, mode="gaussian", mesh=_eval_mesh(args),
     )
     eng_tu = _single_engine(tunet, args, overlap=0.7)
 

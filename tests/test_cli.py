@@ -341,3 +341,43 @@ def test_eval_cli_ctunet_and_final(tmp_path):
         assert np.all((d == 0.0) | (d == 1.0)) and d.mean() > 0.0
     finally:
         os.chdir(cwd)
+
+
+def test_eval_cli_distributed_mesh_matches_single(tmp_path):
+    """--distributed eval shards the window-chunk axis over the 8-virtual-
+    device mesh (cli/test_main.py::_eval_mesh); per-organ dice must equal the
+    unsharded run's (one cross-device sum in finalize, same blending)."""
+    import jax
+    import jax.numpy as jnp
+    from hybrid_ctunet_tpu.cli.args import build_test_parser
+    from hybrid_ctunet_tpu.cli.factory import build_model
+    from hybrid_ctunet_tpu.cli.test_main import test_single
+    from hybrid_ctunet_tpu.data.synthetic import write_synthetic_dataset
+    from hybrid_ctunet_tpu.train.checkpoint import save_checkpoint
+    from hybrid_ctunet_tpu.train.state import create_train_state
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    json_path = write_synthetic_dataset(data_dir, n_train=1, n_val=1, shape=(64, 64, 32))
+
+    argv = [
+        "--model_name=cunet", "--model_depths=50",
+        f"--data_dir={data_dir}", f"--json_list={os.path.basename(json_path)}",
+        "--roi_x=32", "--roi_y=32", "--roi_z=16", "--out_channels=3",
+        f"--pretrained_dir={tmp_path}/ckpt", "--pretrained_model_name=model_res.pt",
+        "--exp_name=distsmoke", "--noamp",
+    ]
+    args = build_test_parser("c_tunet").parse_args(argv)
+    model = build_model(args)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 16, 1), jnp.float32))
+    save_checkpoint(str(tmp_path / "ckpt"), "model_res.pt", state, epoch=0, best_acc=0.0)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rows_single = test_single(argv)
+        rows_dist = test_single(argv + ["--distributed"])
+    finally:
+        os.chdir(cwd)
+    np.testing.assert_allclose(rows_dist, rows_single, atol=1e-6)
