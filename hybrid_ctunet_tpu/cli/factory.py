@@ -20,6 +20,23 @@ def model_dtype(args):
 
 def build_model(args):
     name = args.model_name
+    norm = getattr(args, "norm_name", "instance")
+    if norm != "instance":
+        # The reference threads --norm_name into every conv block
+        # (hybrid_CTUNet.py:85-87, resnet.py:97-101) and converts to
+        # SyncBatchNorm under DDP (main_C_TUNet.py:193-194). This framework
+        # implements the instance-norm configuration (the one every README
+        # command uses); batch norm needs mutable running statistics +
+        # cross-replica sync, which the functional model stack does not
+        # carry — fail loudly rather than silently substituting instance
+        # norm (same policy as --resume_jit).
+        raise SystemExit(
+            f"--norm_name {norm!r} is not supported: only 'instance' "
+            "(the reference's default and the configuration used by every "
+            "README command) is implemented. BatchNorm/SyncBatchNorm would "
+            "require mutable running-stats state with cross-replica "
+            "synchronization (reference main_C_TUNet.py:193-194)."
+        )
     common = dict(out_channels=args.out_channels, dtype=model_dtype(args))
     vit_kw = dict(
         img_size=(args.roi_x, args.roi_y),

@@ -174,20 +174,24 @@ class TrainLoader:
         stop = threading.Event()
         _END, _ERR = object(), object()
 
+        def put_stop_aware(item) -> bool:
+            """Put unless the consumer signalled stop; True iff delivered."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 for batch in self._batches():
-                    while not stop.is_set():
-                        try:
-                            q.put(batch, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not put_stop_aware(batch):
                         return
-                q.put(_END)
+                put_stop_aware(_END)
             except BaseException as e:  # surface in the consumer
-                q.put((_ERR, e))
+                put_stop_aware((_ERR, e))
 
         t = threading.Thread(target=produce, daemon=True, name="TrainLoader-prefetch")
         t.start()

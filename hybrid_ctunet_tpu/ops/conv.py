@@ -405,6 +405,7 @@ def conv_transpose3d_same(
     if (
         tuple(k) == tuple(s)
         and (tp == "1" or (tp == "fold" and fold_out))
+        and flags.TRANSP_NATIVE != "1"  # TRANSP_NATIVE=1 A/Bs the lax path alone
         and jax.default_backend() == "tpu"
     ):
         from . import shuffle_pallas

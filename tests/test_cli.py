@@ -54,6 +54,24 @@ def test_parser_defaults_match_reference():
     assert args3.exp_name == "test1"
 
 
+def test_norm_name_batch_fails_loudly():
+    """The reference switches every conv block to BatchNorm under
+    --norm_name batch (hybrid_CTUNet.py:85-87) + SyncBatchNorm under DDP
+    (main_C_TUNet.py:193-194). This framework implements the instance-norm
+    configuration only — asking for anything else must fail loudly (same
+    policy as --resume_jit), never silently substitute instance norm."""
+    from hybrid_ctunet_tpu.cli.factory import build_model
+
+    args = build_train_parser("c_tunet").parse_args(
+        ["--model_name=cunet", "--norm_name=batch"]
+    )
+    with pytest.raises(SystemExit, match="norm_name"):
+        build_model(args)
+    # the default ('instance') still builds
+    ok = build_train_parser("c_tunet").parse_args(["--model_name=cunet"])
+    assert build_model(ok) is not None
+
+
 @pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path):
     """python main_C_TUNet.py --model_name=cunet on synthetic data: one epoch
