@@ -35,14 +35,53 @@ def _softmax(x, axis=-1):
     return e / e.sum(axis, keepdims=True)
 
 
-def _native_logits(engine, params, case, head: Optional[int] = None):
+def _dispatch(engine, params, case):
+    """Device half of a case: dispatch the sliding-window chunks and return
+    the UNFETCHED device canvases (execution continues asynchronously)."""
     img = np.asarray(case.image)
     vol = jnp.asarray(img if img.ndim == 4 else img[..., None])[None]
-    outs = engine(vol, params)
+    return engine(vol, params)
+
+
+def _to_native(outs, case, head: Optional[int] = None):
+    """Host half: fetch the device canvases and invert to the native grid."""
     if head is None:
-        maps = [np.asarray(o[0]) for o in outs]
-        return [invert_to_native(m, case.meta) for m in maps]
+        return [invert_to_native(np.asarray(o[0]), case.meta) for o in outs]
     return invert_to_native(np.asarray(outs[head][0]), case.meta)
+
+
+def _native_logits(engine, params, case, head: Optional[int] = None):
+    return _to_native(_dispatch(engine, params, case), case, head)
+
+
+def _pipeline_cases(cases, dispatch, finish):
+    """Depth-1 host/device pipeline over eval cases (VERDICT r3 #7).
+
+    ``dispatch(case)`` enqueues a case's device work and returns unfetched
+    device arrays; ``finish(case, handle)`` does the host work (fetch ->
+    invert_to_native scipy resample -> metrics -> NIfTI save). With
+    EVAL_OVERLAP (default), case i's host work runs in a single worker
+    thread while case i+1's windows execute on device — the same
+    double-buffering as data.dataset.TrainLoader(prefetch=). Results keep
+    case order; identical outputs to the serial loop by construction (the
+    reference's loop, test_CTUNet_final.py:529-606, is fully serial).
+    """
+    from .. import flags as hcflags
+
+    if hcflags.EVAL_OVERLAP != "1" or len(cases) <= 1:
+        return [finish(c, dispatch(c)) for c in cases]
+    from concurrent.futures import ThreadPoolExecutor
+
+    results = []
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        pending = None
+        for case in cases:
+            handle = dispatch(case)
+            if pending is not None:
+                results.append(pending.result())
+            pending = ex.submit(finish, case, handle)
+        results.append(pending.result())
+    return results
 
 
 def _label_of(case):
@@ -104,17 +143,17 @@ def test_single(argv=None):
     )
     engine = _single_engine(model, args)
 
-    rows, names = [], []
-    for case in val_cases:
-        nat = _native_logits(engine, params, case, head=0)
+    def finish(case, handle):
+        nat = _to_native(handle, case, head=0)
         pred = np.argmax(nat, -1)
-        lab = _label_of(case)
-        d = per_organ_dice(pred, lab, n_classes=args.out_channels)
+        d = per_organ_dice(pred, _label_of(case), n_classes=args.out_channels)
         print(f"case {case.name} mean dice {np.mean(d):.4f}")
-        rows.append(d)
-        names.append(case.name)
         save_nifti(os.path.join(out_dir, case.name or "pred.nii.gz"),
                    pred.astype(np.uint8), case.meta.affine)
+        return case.name, d
+
+    out = _pipeline_cases(val_cases, lambda c: _dispatch(engine, params, c), finish)
+    names, rows = [n for n, _ in out], [d for _, d in out]
     write_dice_report(out_dir, names, rows)
     print("Overall Mean Dice: {}".format(float(np.mean(rows))))
     return np.asarray(rows)
@@ -138,21 +177,25 @@ def test_ctunet(argv=None):
     engine = _dual_engine(model, args)
 
     results = {}
-    for tag, get_maps in (
-        ("res+vit", lambda c: (_native_logits(engine, p_res, c, head=0),
-                               _native_logits(engine, p_vit, c, head=1))),
-        ("hybrid", lambda c: tuple(_native_logits(engine, p_hyb, c, head=None))),
+    for tag, dispatch, fetch in (
+        ("res+vit",
+         lambda c: (_dispatch(engine, p_res, c), _dispatch(engine, p_vit, c)),
+         lambda h, c: (_to_native(h[0], c, head=0), _to_native(h[1], c, head=1))),
+        ("hybrid",
+         lambda c: _dispatch(engine, p_hyb, c),
+         lambda h, c: tuple(_to_native(h, c, head=None))),
     ):
-        rows, names = [], []
-        for case in val_cases:
-            m1, m2 = get_maps(case)
+        def finish(case, handle, tag=tag, fetch=fetch):
+            m1, m2 = fetch(handle, case)
             prob = (_softmax(m1) + _softmax(m2)) / 2.0
             pred = np.argmax(prob, -1)
             d = per_organ_dice(pred, _label_of(case), n_classes=args.out_channels)
-            rows.append(d)
-            names.append(case.name)
             save_nifti(os.path.join(out_dir, f"{tag}_{case.name or 'pred.nii.gz'}"),
                        pred.astype(np.uint8), case.meta.affine)
+            return case.name, d
+
+        out = _pipeline_cases(val_cases, dispatch, finish)
+        names, rows = [n for n, _ in out], [d for _, d in out]
         write_dice_report(out_dir, names, rows, filename=f"dice_{tag}.txt")
         print(f"[{tag}] Overall Mean Dice: {float(np.mean(rows))}")
         results[tag] = np.asarray(rows)
@@ -196,20 +239,26 @@ def test_final(argv=None):
     )
     eng_tu = _single_engine(tunet, args, overlap=0.7)
 
-    infers, labels, names, vpv = [], [], [], []
-    for case in val_cases:
-        res_nat = _native_logits(eng_ct, p_ct, case, head=0)
-        tu_nat = _native_logits(eng_tu, p_tu, case, head=0)
+    def finish(case, handle):
+        res_nat = _to_native(handle[0], case, head=0)
+        tu_nat = _to_native(handle[1], case, head=0)
         prob = (_softmax(res_nat) + _softmax(tu_nat)) / 2.0
         pred = np.argmax(prob, -1).astype(np.uint8)
-        infers.append(pred)
-        labels.append(_label_of(case).astype(np.uint8))
-        names.append(case.name)
         # physical volume per voxel from the native affine (SimpleITK spacing
         # read, test_CTUNet_final.py:500-503)
-        sp = np.abs(np.linalg.det(case.meta.affine[:3, :3]))
-        vpv.append(float(sp))
+        sp = float(np.abs(np.linalg.det(case.meta.affine[:3, :3])))
         save_nifti(os.path.join(out_dir, case.name or "pred.nii.gz"), pred, case.meta.affine)
+        return pred, _label_of(case).astype(np.uint8), case.name, sp
+
+    out = _pipeline_cases(
+        val_cases,
+        lambda c: (_dispatch(eng_ct, p_ct, c), _dispatch(eng_tu, p_tu, c)),
+        finish,
+    )
+    infers = [r[0] for r in out]
+    labels = [r[1] for r in out]
+    names = [r[2] for r in out]
+    vpv = [r[3] for r in out]
 
     rows = [per_organ_dice(p, l, n_classes=args.out_channels) for p, l in zip(infers, labels)]
     report_path = write_dice_report(out_dir, names, rows)

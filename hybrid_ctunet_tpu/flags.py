@@ -200,6 +200,12 @@ _DEFAULTS = {
     # bench's last CTUNet chunk, 5/8 of TUNet's). Bit-exact: dummy windows
     # contributed exactly 0.0 in window order either way.
     "SW_REMAINDER": ("1", str),
+    # Evaluation host/device pipelining (cli/test_main.py): dispatch case
+    # i+1's sliding-window chunks while a single worker thread fetches,
+    # inverts (scipy resample) and scores case i. Identical outputs by
+    # construction (pure reordering of host work); depth-1 bounded, so at
+    # most two cases' canvases are in flight.
+    "EVAL_OVERLAP": ("1", str),
     # in-kernel erf: "as26" (exp-based, err 4.4e-7) | "r16" (no exp, 1.6e-6).
     # Measured NEUTRAL end-to-end (ab_flags_model: 157.4/356.7 vs
     # 157.3/356.3) — Mosaic hides the exp under the MXU dots; default stays

@@ -54,6 +54,37 @@ def test_parser_defaults_match_reference():
     assert args3.exp_name == "test1"
 
 
+def test_pipeline_cases_order_equivalence_and_errors():
+    """The eval host/device pipeline must produce the serial loop's results
+    in case order, and worker-thread exceptions must propagate."""
+    from hybrid_ctunet_tpu import flags
+    from hybrid_ctunet_tpu.cli.test_main import _pipeline_cases
+
+    cases = list(range(7))
+    want = [(c, c * 10) for c in cases]
+
+    def finish(c, h):
+        import time
+
+        time.sleep(0.002 * (c % 3))
+        return (c, h)
+
+    with flags.override(EVAL_OVERLAP="1"):
+        got = _pipeline_cases(cases, lambda c: c * 10, finish)
+    assert got == want
+    with flags.override(EVAL_OVERLAP="0"):
+        assert _pipeline_cases(cases, lambda c: c * 10, finish) == want
+
+    def bad(c, h):
+        if c == 3:
+            raise ValueError("boom")
+        return (c, h)
+
+    with flags.override(EVAL_OVERLAP="1"):
+        with pytest.raises(ValueError, match="boom"):
+            _pipeline_cases(cases, lambda c: c * 10, bad)
+
+
 def test_norm_name_batch_fails_loudly():
     """The reference switches every conv block to BatchNorm under
     --norm_name batch (hybrid_CTUNet.py:85-87) + SyncBatchNorm under DDP
