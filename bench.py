@@ -22,6 +22,7 @@ pinned denominator; the north-star target is >= 5x it.)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -117,19 +118,76 @@ def main():
 
     volume = jax.random.normal(jax.random.PRNGKey(1), (1, *vol_shape, 1), jnp.float32)
 
+    # Count persistent-cache hits/misses via jax's monitoring events so the
+    # bench itself reports the warmup attribution (round-4 finding: the
+    # driver's 182-205 s warmup had ZERO cache misses — the time is the
+    # backend's per-program load, PERF.md "Warmup root cause").
+    from jax._src import monitoring as _mon
+
+    class _CacheCounter:
+        hits = misses = 0
+
+    def _cache_event(event: str, **kw):
+        if event == "/jax/compilation_cache/cache_hits":
+            _CacheCounter.hits += 1
+        elif event == "/jax/compilation_cache/cache_misses":
+            _CacheCounter.misses += 1
+
+    _mon.register_event_listener(_cache_event)
+
+    # Optionally warm every program CONCURRENTLY before the timed warmup
+    # call: the remote compile service parallelizes independent COMPILES
+    # (3.2x measured, tools/probe_parallel_warm.py), so on a cold client
+    # cache this overlaps six model-sized compiles. On a warm client cache
+    # the remaining cost is the backend's program LOAD, which measures as
+    # server-serial (prewarm then only moves time between the two printed
+    # phases) — see PERF.md "Warmup root cause".
+    if on_tpu and os.environ.get("BENCH_PREWARM", "1") == "1":
+        t0 = time.time()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            futures = []
+            futures += eng_ct.prewarm(volume.shape, ct_params, executor=ex) or []
+            futures += eng_tu.prewarm(volume.shape, tu_params, executor=ex) or []
+            futures.append(
+                ex.submit(
+                    lambda: jax.block_until_ready(
+                        ensemble(
+                            jnp.zeros((1, *vol_shape, 14), jnp.float32),
+                            jnp.zeros((1, *vol_shape, 14), jnp.float32),
+                        )
+                    )
+                )
+            )
+            for f in futures:
+                f.result()
+        log(f"parallel prewarm {time.time() - t0:.1f}s")
+
+    debug = bool(os.environ.get("BENCH_DEBUG")) if on_tpu else False
+
     def one_volume():
+        t = time.time()
         (res_map,) = eng_ct(volume, ct_params)
+        if debug:
+            log(f"  ct dispatched {time.time() - t:.1f}s"); t = time.time()
         (tu_map,) = eng_tu(volume, tu_params)
+        if debug:
+            log(f"  tu dispatched {time.time() - t:.1f}s"); t = time.time()
         mask = ensemble(res_map, tu_map)
         del res_map, tu_map
         # force a scalar D2H: on the axon tunnel block_until_ready returns
         # before execution finishes — only a fetch truly synchronizes
         float(mask[0, 0, 0, 0])
+        if debug:
+            log(f"  ensemble+fetch {time.time() - t:.1f}s")
         return mask
 
     t0 = time.time()
     one_volume()
-    log(f"warmup(compile) {time.time() - t0:.1f}s")
+    log(f"warmup(compile) {time.time() - t0:.1f}s "
+        f"[persistent-cache hits {_CacheCounter.hits}, misses {_CacheCounter.misses}; "
+        "remaining warmup = backend program upload/load, not compilation — PERF.md]")
 
     times = []
     for _ in range(reps):

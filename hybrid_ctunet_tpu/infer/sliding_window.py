@@ -398,6 +398,14 @@ class SlidingWindowEngine:
                     )
                 return finalize(accs)
 
+            # expose the compiled units for SlidingWindowEngine.prewarm's
+            # concurrent warmup (the remote compile service parallelizes —
+            # measured 3.2x, tools/probe_parallel_warm.py)
+            run.chunk_step = chunk_step
+            run.finalize = finalize
+            run.init_accs = init_accs
+            run.put = put
+
         elif self.mesh is None:
 
             @jax.jit
@@ -501,6 +509,67 @@ class SlidingWindowEngine:
         )
         outs = tuple(o[crop[0], crop[1], crop[2], :][None] for o in outs)
         return outs
+
+    def prewarm(self, volume_shape, *pred_args, executor=None):
+        """Compile/load every program a volume of ``volume_shape`` will
+        dispatch — the full-sw chunk program, the trailing-remainder bucket
+        (SW_REMAINDER), and finalize — CONCURRENTLY.
+
+        The axon remote compile service parallelizes independent requests
+        (measured 3.2x, tools/probe_parallel_warm.py), but a normal first
+        call serializes them: the first chunk dispatch blocks on its compile,
+        then the remainder blocks, then finalize. This front-loads them in
+        threads on zero inputs (each also executes once, so the backend's
+        program is loaded, not just built). Numerics-neutral: warmup math is
+        discarded. Loop-strategy, single-device only; no-op otherwise.
+
+        ``volume_shape``: (1, X, Y, Z, C) like a real call's volume.
+        ``executor``: optional ThreadPoolExecutor to share; returns the list
+        of futures if given, else blocks until warm.
+        """
+        if self.strategy != "loop" or self.mesh is not None:
+            return None
+        image_size = tuple(volume_shape[1:4])
+        lo, hi = _pad_amounts(image_size, self.roi_size)
+        padded_size = tuple(i + l + h for i, l, h in zip(image_size, lo, hi))
+        interval = get_scan_interval(padded_size, self.roi_size, self.overlap)
+        n = len(dense_patch_starts(padded_size, self.roi_size, interval))
+        canvas_size = padded_size
+        if self.canvas_bucket > 0:
+            b = self.canvas_bucket
+            canvas_size = tuple(-(-d // b) * b for d in padded_size)
+        key = (canvas_size, int(volume_shape[-1]))
+        if key not in self._jitted:
+            self._jitted[key] = self._build(canvas_size, 0, int(volume_shape[-1]), pred_args)
+        run, _ = self._jitted[key]
+        if not hasattr(run, "chunk_step"):
+            return None
+
+        sw = self.sw_batch_size
+        sizes = [sw]
+        rem = n % sw
+        if rem and flags.SW_REMAINDER == "1":
+            sizes.append(1 << (rem - 1).bit_length())
+
+        importance = jnp.asarray(self._importance(self.roi_size))
+        padded = jnp.zeros((1, *canvas_size, int(volume_shape[-1])), jnp.float32)
+
+        def one(size):
+            accs = run.init_accs()
+            s = run.put(np.zeros((size, 3), np.int32))
+            v = run.put(np.zeros((size,), np.float32))
+            accs = run.chunk_step(accs, padded, s, v, importance, *pred_args)
+            outs = run.finalize(accs)
+            jax.block_until_ready(outs)
+
+        import concurrent.futures as cf
+
+        if executor is not None:
+            return [executor.submit(one, size) for size in sizes]
+        with cf.ThreadPoolExecutor(max_workers=len(sizes)) as ex:
+            for f in [ex.submit(one, size) for size in sizes]:
+                f.result()
+        return None
 
 
 def sliding_window_inference(

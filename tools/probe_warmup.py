@@ -109,7 +109,7 @@ def main():
     t = time.time()
     (res_map,) = eng_ct(volume, ct_params)
     (tu_map,) = eng_tu(volume, tu_params)
-    float(jnp.asarray(res_map[0, 0, 0, 0] + tu_map[0, 0, 0, 0]))
+    float(jnp.asarray(res_map[0, 0, 0, 0, 0] + tu_map[0, 0, 0, 0, 0]))
     mark(f"steady-state volume {time.time() - t:.2f}s")
 
 
