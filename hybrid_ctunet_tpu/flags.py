@@ -203,9 +203,15 @@ _DEFAULTS = {
     # Evaluation host/device pipelining (cli/test_main.py): dispatch case
     # i+1's sliding-window chunks while a single worker thread fetches,
     # inverts (scipy resample) and scores case i. Identical outputs by
-    # construction (pure reordering of host work); depth-1 bounded, so at
-    # most two cases' canvases are in flight.
-    "EVAL_OVERLAP": ("1", str),
+    # construction (pure reordering of host work; tested); depth-1 bounded,
+    # so at most two cases' canvases are in flight. Default OFF: measured a
+    # 16% LOSS on the 1-core v5e host (tools/ab_eval_overlap.py, 4 cases:
+    # 237.5/252.8 s overlapped vs 205.0 s serial, rows bit-identical) — the
+    # python dispatch loop saturates the single core, so the worker thread
+    # steals dispatch time instead of filling idle time (same failure mode
+    # as the r3 ensemble-interleave experiment). Enable on multi-core eval
+    # hosts, where the invert/metrics work rides a spare core.
+    "EVAL_OVERLAP": ("0", str),
     # in-kernel erf: "as26" (exp-based, err 4.4e-7) | "r16" (no exp, 1.6e-6).
     # Measured NEUTRAL end-to-end (ab_flags_model: 157.4/356.7 vs
     # 157.3/356.3) — Mosaic hides the exp under the MXU dots; default stays

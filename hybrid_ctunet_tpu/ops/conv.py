@@ -401,11 +401,14 @@ def conv_transpose3d_same(
     B, X, Y, Z, Cin = x.shape
     Cout = w.shape[-1]
 
+    # Hook order: the Pallas fold-site kernel outranks BOTH einsum and
+    # native paths (production default TRANSP_PALLAS=fold + TRANSP_NATIVE=1).
+    # A/B protocol note (ADVICE r3): sweeping TRANSP_NATIVE alone does NOT
+    # isolate native-vs-einsum at fold_out sites — ALSO set TRANSP_PALLAS=0.
     tp = flags.TRANSP_PALLAS
     if (
         tuple(k) == tuple(s)
         and (tp == "1" or (tp == "fold" and fold_out))
-        and flags.TRANSP_NATIVE != "1"  # TRANSP_NATIVE=1 A/Bs the lax path alone
         and jax.default_backend() == "tpu"
     ):
         from . import shuffle_pallas
