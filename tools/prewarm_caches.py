@@ -18,6 +18,7 @@ Usage:
 """
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
@@ -30,6 +31,10 @@ def main():
     t0 = time.time()
     if what == "dryrun":
         cmd = [sys.executable, f"{REPO}/__graft_entry__.py", "8"]
+        # prewarm must never budget-skip the flags-on phase — its whole
+        # point is seeding the cache so the driver's budgeted run hits it
+        os.environ["HYBRID_CTUNET_DRYRUN_TOTAL_BUDGET"] = "100000"
+        os.environ["HYBRID_CTUNET_DRYRUN_FLAGSON_BUDGET"] = "100000"
     elif what == "bench":
         cmd = [sys.executable, f"{REPO}/bench.py"]
     else:
