@@ -418,3 +418,37 @@ def test_stem_zfold4_matches_native_conv(rng):
             assert out.shape == want.shape, (kz, shape, out.shape, want.shape)
             np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                        atol=5e-5, rtol=1e-5)
+
+
+def test_transp_pallas_hook_outranks_native(monkeypatch):
+    """Production hook order regression test (round 4): with the DEFAULT flag
+    set (TRANSP_PALLAS=fold AND TRANSP_NATIVE=1), a k==s fold_out site on the
+    TPU backend must route to the Pallas fused_transp_conv kernel — round 4
+    briefly shipped a gate that let TRANSP_NATIVE=1 (the default!) silently
+    disable the kernel, costing 4-5 ms/chunk until a device trace caught it.
+    The TPU path is simulated by monkeypatching the backend probe and
+    intercepting the kernel entry with a sentinel."""
+    import jax as _jax
+
+    from hybrid_ctunet_tpu.ops import conv as conv_mod
+    from hybrid_ctunet_tpu.ops import shuffle_pallas
+
+    class Sentinel(Exception):
+        pass
+
+    def fake_kernel(x, w, dtype, interpret=False, zfold=False):
+        raise Sentinel
+
+    monkeypatch.setattr(conv_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(shuffle_pallas, "transp_supports",
+                        lambda *a, **k: True)
+    monkeypatch.setattr(shuffle_pallas, "fused_transp_conv", fake_kernel)
+
+    from hybrid_ctunet_tpu import flags
+
+    assert flags.TRANSP_PALLAS == "fold" and flags.TRANSP_NATIVE == "1", (
+        "production defaults changed — update this test's premise")
+    x = jnp.zeros((1, 4, 4, 4, 8), jnp.float32)
+    w = jnp.zeros((2, 2, 2, 8, 4), jnp.float32)
+    with pytest.raises(Sentinel):
+        conv_mod.conv_transpose3d_same(x, w, (2, 2, 2), fold_out=True)
