@@ -192,7 +192,13 @@ _DEFAULTS = {
     # kernel tile knobs
     "ATTN_TB": ("4", int),
     "FFN_TN": ("", str),  # "" = auto-pick per shape
-    "FFN_HK": ("256", int),  # hidden-dim streaming chunk in the FFN kernel
+    # hidden-dim streaming chunk in the FFN kernel. 128 measured best in the
+    # round-4 sweep (tools/ab_flags_model.py, order-independent, two runs):
+    # TUNet chunk 131.2-131.6 -> 128.3-128.9 ms, CTUNet 311.5-313.1 ->
+    # 308.6-308.8 vs the old 256; 512 neutral-to-loss. Smaller chunks keep
+    # the fp32 GELU temps hotter in VMEM; split-K partial-sum order shifts
+    # within fp32 rounding noise.
+    "FFN_HK": ("128", int),
     # trailing-remainder chunk in the sliding-window loop strategy: dispatch
     # the final partial window chunk as a smaller (power-of-two-bucketed)
     # program instead of padding it to a full sw_batch of dummy windows —
