@@ -26,6 +26,9 @@ _PREFIX = "HYBRID_CTUNET_"
 _DEFAULTS = {
     # Pallas kernel gates (model code, read per-apply but now process-stable)
     "PALLAS_FFN": ("1", str),
+    # allow the fused FFN kernel at ViT scale (hidden 3072 > the decoder
+    # gate's 1024; 3456 token rows). See ops/ffn_pallas.py supports().
+    "PALLAS_FFN_BIG": ("0", str),
     # fuse the callers' `x + FFN(x)` residual add into the FFN kernel's
     # output write. Default OFF: despite saving a full-tensor elementwise
     # pass on paper, it measures a ~17 ms/chunk LOSS on both models
@@ -131,8 +134,13 @@ _DEFAULTS = {
     # stage). Stage-1 chain 76.4 -> 52.6 ms standalone
     # (tools/probe_folded_stage.py); END-TO-END WIN 9.76 -> 9.98 vol/min —
     # unlike the per-conv rewrites, no per-conv relayout breaks XLA fusion.
+    # ZFOLD_CH=64 (round 5): strided stages fold their stride-1 TAIL blocks
+    # (models/resnet3d.py) — layer2's 8 C=64 bottlenecks run at 128 lanes
+    # (factor auto-capped at 128//planes). Measured: encoder layer2
+    # 11.84 -> 11.28 ms (tools/profile_encoder.py), CTUNet chunk
+    # 308.9 -> 308.2 (tools/ab_flags_model.py).
     "ZFOLD": ("1", str),
-    "ZFOLD_CH": ("32", int),
+    "ZFOLD_CH": ("64", int),
     # fold width: 4 puts the planes=32 stage at 128 lanes (1x1 block-diag /
     # 3^3 3-fold-span kernels at 4x structured-sparse MACs). Measured
     # (tools/ab_flags_model.py): CTUNet chunk 376.2 -> 370.1 ms vs factor 2.

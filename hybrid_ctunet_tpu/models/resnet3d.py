@@ -124,7 +124,9 @@ class ResNet3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, upto: int | None = None):
+        """Forward. ``upto`` (static; profiling only — tools/profile_encoder.py)
+        truncates the network: 0 = stem only, k = through stage k."""
         if self.model_depth not in LAYER_COUNTS:
             raise ValueError(
                 f"model_depth must be one of {sorted(LAYER_COUNTS)}, got {self.model_depth}"
@@ -136,6 +138,8 @@ class ResNet3D(nn.Module):
             name="conv1",
         )(x)
         h = instance_norm_leaky(h)
+        if upto == 0:
+            return [h]
 
         features = []
         stage_strides = (1, self.ds_stride[1], self.ds_stride[2], self.ds_stride[3])
@@ -143,19 +147,21 @@ class ResNet3D(nn.Module):
             zip(BLOCK_INPLANES, layers, stage_strides)
         ):
             s3 = (stride,) * 3 if isinstance(stride, int) else tuple(stride)
-            # z-folded stage: lane-starved widths (planes <= ZFOLD_CH, i.e.
-            # the planes=32 stage-1) run every block in the z-folded layout —
-            # fold/unfold are free contiguous reshapes amortized over the
-            # whole stage; 76.4 -> 52.6 ms measured on the 8-block stage-1
-            # chain at factor 2 (tools/probe_folded_stage.py). ZFOLD_FACTOR
-            # sets the fold width (4 = 32ch -> 128 lanes at 4x block-diag
-            # MACs). Identical math and params.
-            factor = flags.ZFOLD_FACTOR
+            # z-folded stage: lane-starved widths (planes <= ZFOLD_CH) run
+            # their stride-1 blocks in the z-folded layout — fold/unfold are
+            # free contiguous reshapes amortized over the whole stage;
+            # 76.4 -> 52.6 ms measured on the 8-block stage-1 chain at
+            # factor 2 (tools/probe_folded_stage.py). The factor folds the
+            # 3^3 conv's lane-starved side up to 128 lanes (stage-1
+            # planes=32 -> 4, stage-2 planes=64 -> 2), capped by
+            # ZFOLD_FACTOR. Identical math and params. When block0 strides
+            # (stages 2-4) it runs unfolded and only the stride-1 tail is
+            # folded (round-5 per-stage attribution, tools/profile_encoder.py:
+            # layer2's 8 tail blocks were the last unfolded C=64 conv pool).
+            factor = max(1, min(flags.ZFOLD_FACTOR, 128 // planes))
+            fold_ok = flags.ZFOLD == "1" and planes <= flags.ZFOLD_CH and factor > 1
             folded = factor if (
-                flags.ZFOLD == "1"
-                and planes <= flags.ZFOLD_CH
-                and s3 == (1, 1, 1)
-                and h.shape[3] % factor == 0
+                fold_ok and s3 == (1, 1, 1) and h.shape[3] % factor == 0
             ) else 0
             if folded:
                 h = fold_z(h, folded)
@@ -163,6 +169,10 @@ class ResNet3D(nn.Module):
                 planes, stride, folded=folded, dtype=self.dtype,
                 name=f"layer{stage + 1}_block0",
             )(h)
+            tail_folded = folded
+            if not folded and fold_ok and blocks > 1 and h.shape[3] % factor == 0:
+                tail_folded = factor
+                h = fold_z(h, factor)
             if self.scan_blocks and blocks > 1:
                 # remat-scan: recompute each tail block in the backward pass
                 # instead of saving its intermediates (96^3-scale activations
@@ -175,16 +185,18 @@ class ResNet3D(nn.Module):
                     metadata_params={nn.PARTITION_NAME: None},
                 )
                 h, _ = Tail(
-                    planes, folded=folded, dtype=self.dtype,
+                    planes, folded=tail_folded, dtype=self.dtype,
                     name=f"layer{stage + 1}_tail",
                 )(h, None)
             else:
                 for b in range(1, blocks):
                     h = Bottleneck(
-                        planes, 1, folded=folded, dtype=self.dtype,
+                        planes, 1, folded=tail_folded, dtype=self.dtype,
                         name=f"layer{stage + 1}_block{b}",
                     )(h)
-            if folded:
-                h = unfold_z(h, folded)
+            if tail_folded:
+                h = unfold_z(h, tail_folded)
             features.append(h)
+            if upto is not None and upto == stage + 1:
+                return features
         return features

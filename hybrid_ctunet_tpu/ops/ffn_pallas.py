@@ -278,15 +278,19 @@ def supports(n_rows: int, c: int, hidden: int, dtype) -> bool:
     """Fast path applies to the decoder-pyramid scale: bf16, aligned dims,
     weights + one fp32 hidden tile comfortably in VMEM, and enough rows to
     amortize the weight residency."""
-    return (
-        dtype == jnp.bfloat16
-        and c % 128 == 0
-        and hidden % 128 == 0
-        # c=512 (stage-1) measures at parity with XLA — the win is the big
-        # spatial stages where the hidden tensor dwarfs VMEM-able tiles
-        and hidden <= 1024
-        and n_rows >= 65536
-    )
+    from .. import flags
+
+    if dtype != jnp.bfloat16 or c % 128 or hidden % 128:
+        return False
+    if flags.PALLAS_FFN_BIG == "1" and hidden > 1024:
+        # ViT-scale FFN (c=768, hidden=3072, 3456 token rows at sw=8):
+        # round-5 experiment — the XLA dot fusion runs these at ~117 TF/s
+        # (tools/profile_vit.py) vs 171 for the neighboring projections.
+        # Both bf16 weights must be VMEM-resident: cap at ~12 MB.
+        return n_rows >= 2048 and 2 * 2 * c * hidden <= 12_000_000
+    # c=512 (stage-1) measures at parity with XLA — the win is the big
+    # spatial stages where the hidden tensor dwarfs VMEM-able tiles
+    return hidden <= 1024 and n_rows >= 65536
 
 
 def fused_ffn(x, ln_w, ln_b, w1, b1, w2, b2, *, dtype, interpret=False,
@@ -297,5 +301,13 @@ def fused_ffn(x, ln_w, ln_b, w1, b1, w2, b2, *, dtype, interpret=False,
     kernel's output write."""
     shape = x.shape
     x2d = x.reshape(-1, shape[-1])
+    if w1.shape[1] > 1024:
+        # ViT-scale weights: pre-cast to the compute dtype OUTSIDE the kernel
+        # so the VMEM-resident blocks are half-width (the kernel reads them
+        # via .astype(dtype) either way — identical numerics; fp32 blocks OOM
+        # the 16 MB scoped vmem at hidden=3072). LN params stay fp32 (used
+        # in fp32 inside).
+        w1, b1 = w1.astype(dtype), b1.astype(dtype)
+        w2, b2 = w2.astype(dtype), b2.astype(dtype)
     out = _fused_ffn(x2d, ln_w, ln_b, w1, b1, w2, b2, dtype, interpret, residual)
     return out.reshape(shape)

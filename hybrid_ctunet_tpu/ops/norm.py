@@ -11,6 +11,7 @@ let XLA fuse the normalize into neighbouring elementwise ops.
 """
 from __future__ import annotations
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
@@ -136,3 +137,64 @@ def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float = 1e
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     y = y * weight.astype(jnp.float32) + bias.astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+class TorchBatchNorm(nn.Module):
+    """Channels-last BatchNorm3d with torch semantics (``--norm_name batch``).
+
+    The reference threads ``norm_name`` into every conv block
+    (hybrid_CTUNet.py:85-87, resnet.py:97-101); MONAI's ``Norm.BATCH`` is
+    ``torch.nn.BatchNorm3d`` with its defaults — eps 1e-5, momentum 0.1,
+    affine, running stats. Torch details reproduced exactly:
+
+    - train mode normalizes with the BIASED batch variance but tracks
+      ``running_var`` with the UNBIASED one (Bessel's correction);
+    - ``running = (1 - momentum) * running + momentum * new``;
+    - eval mode normalizes with the running buffers.
+
+    Train/eval follows the mutability of the ``batch_stats`` collection: a
+    train step applies with ``mutable=["batch_stats"]`` (the functional
+    analogue of ``model.train()``), eval applies immutably (= ``.eval()``).
+
+    ``sync_axis``: average the batch moments over a mapped mesh axis before
+    normalizing — exactly ``SyncBatchNorm.convert_sync_batchnorm`` under DDP
+    (reference main_C_TUNet.py:193-194). Sums of E[x] and E[x^2] are synced
+    (not per-shard variances), so an n-way sharded batch normalizes
+    bit-comparably to the unsharded global batch.
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+    sync_axis: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
+        )
+        train = self.is_mutable_collection("batch_stats") and not self.is_initializing()
+        xf = x.astype(jnp.float32)
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            meansq = jnp.mean(jnp.square(xf), axis=axes)
+            n = float(x.size // C)
+            if self.sync_axis is not None:
+                mean = jax.lax.pmean(mean, self.sync_axis)
+                meansq = jax.lax.pmean(meansq, self.sync_axis)
+                n = n * jax.lax.psum(1, self.sync_axis)
+            var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+            m = self.momentum
+            ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+            ra_var.value = (1.0 - m) * ra_var.value + m * var * (n / (n - 1.0))
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(x.dtype)
