@@ -122,10 +122,9 @@ def main():
     # bench itself reports the warmup attribution (round-4 finding: the
     # driver's 182-205 s warmup had ZERO cache misses — the time is the
     # backend's per-program load, PERF.md "Warmup root cause").
-    from jax._src import monitoring as _mon
-
     class _CacheCounter:
         hits = misses = 0
+        available = False
 
     def _cache_event(event: str, **kw):
         if event == "/jax/compilation_cache/cache_hits":
@@ -133,7 +132,13 @@ def main():
         elif event == "/jax/compilation_cache/cache_misses":
             _CacheCounter.misses += 1
 
-    _mon.register_event_listener(_cache_event)
+    try:  # private API — degrade to plain warmup timing if jax moves it
+        from jax._src import monitoring as _mon
+
+        _mon.register_event_listener(_cache_event)
+        _CacheCounter.available = True
+    except Exception as e:  # pragma: no cover - depends on jax internals
+        log(f"cache-hit attribution unavailable ({type(e).__name__}: {e})")
 
     # Optionally warm every program CONCURRENTLY before the timed warmup
     # call: the remote compile service parallelizes independent COMPILES
@@ -146,23 +151,28 @@ def main():
         t0 = time.time()
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=6) as ex:
-            futures = []
-            futures += eng_ct.prewarm(volume.shape, ct_params, executor=ex) or []
-            futures += eng_tu.prewarm(volume.shape, tu_params, executor=ex) or []
-            futures.append(
-                ex.submit(
-                    lambda: jax.block_until_ready(
-                        ensemble(
-                            jnp.zeros((1, *vol_shape, 14), jnp.float32),
-                            jnp.zeros((1, *vol_shape, 14), jnp.float32),
+        try:  # prewarm is an optimization: any failure falls back to the
+            # timed warmup below, which compiles everything serially anyway
+            with ThreadPoolExecutor(max_workers=6) as ex:
+                futures = []
+                futures += eng_ct.prewarm(volume.shape, ct_params, executor=ex) or []
+                futures += eng_tu.prewarm(volume.shape, tu_params, executor=ex) or []
+                futures.append(
+                    ex.submit(
+                        lambda: jax.block_until_ready(
+                            ensemble(
+                                jnp.zeros((1, *vol_shape, 14), jnp.float32),
+                                jnp.zeros((1, *vol_shape, 14), jnp.float32),
+                            )
                         )
                     )
                 )
-            )
-            for f in futures:
-                f.result()
-        log(f"parallel prewarm {time.time() - t0:.1f}s")
+                for f in futures:
+                    f.result()
+            log(f"parallel prewarm {time.time() - t0:.1f}s")
+        except Exception as e:
+            log(f"parallel prewarm FAILED after {time.time() - t0:.1f}s "
+                f"({type(e).__name__}: {e}); continuing with serial warmup")
 
     debug = bool(os.environ.get("BENCH_DEBUG")) if on_tpu else False
 

@@ -21,23 +21,19 @@ def model_dtype(args):
 def build_model(args):
     name = args.model_name
     norm = getattr(args, "norm_name", "instance")
-    if norm != "instance":
-        # The reference threads --norm_name into every conv block
-        # (hybrid_CTUNet.py:85-87, resnet.py:97-101) and converts to
-        # SyncBatchNorm under DDP (main_C_TUNet.py:193-194). This framework
-        # implements the instance-norm configuration (the one every README
-        # command uses); batch norm needs mutable running statistics +
-        # cross-replica sync, which the functional model stack does not
-        # carry — fail loudly rather than silently substituting instance
-        # norm (same policy as --resume_jit).
+    if norm not in ("instance", "batch"):
         raise SystemExit(
-            f"--norm_name {norm!r} is not supported: only 'instance' "
-            "(the reference's default and the configuration used by every "
-            "README command) is implemented. BatchNorm/SyncBatchNorm would "
-            "require mutable running-stats state with cross-replica "
-            "synchronization (reference main_C_TUNet.py:193-194)."
+            f"--norm_name {norm!r} is not supported: 'instance' (the "
+            "reference default) and 'batch' (BatchNorm3d; SyncBatchNorm "
+            "under --distributed, reference main_C_TUNet.py:193-194) are "
+            "implemented."
         )
-    common = dict(out_channels=args.out_channels, dtype=model_dtype(args))
+    if norm == "batch" and getattr(args, "distributed", False):
+        # SyncBatchNorm: batch moments pmean over the data mesh axis inside
+        # the shard_map'd train step (= convert_sync_batchnorm under DDP).
+        norm = "batch:data"
+    common = dict(out_channels=args.out_channels, dtype=model_dtype(args),
+                  norm_name=norm)
     vit_kw = dict(
         img_size=(args.roi_x, args.roi_y),
         frames=args.roi_z,
@@ -92,7 +88,12 @@ def build_state(args, model, example_shape=None):
         # reference main_C_TUNet.py:154-157: weights-only load from
         # pretrained_dir/pretrained_model_name
         ppath = os.path.join(args.pretrained_dir, args.pretrained_model_name)
-        state = state.replace(params=load_eval_params(args, args.model_name, ppath))
+        loaded = load_eval_params(args, args.model_name, ppath)
+        if isinstance(loaded, dict) and "params" in loaded:
+            state = state.replace(params=loaded["params"],
+                                  batch_stats=loaded.get("batch_stats"))
+        else:
+            state = state.replace(params=loaded)
         print("Use pretrained weights")
 
     path = getattr(args, "checkpoint", None)
@@ -119,4 +120,7 @@ def load_eval_params(args, model_name: str, path: str):
     if not os.path.isdir(path) and (path.endswith(".pt") or path.endswith(".pth")):
         return load_params_from_torch(path, model_name, model_depth=args.model_depths)
     restored = load_checkpoint(path)
+    if restored.get("batch_stats") is not None:
+        # --norm_name batch checkpoint: eval needs the running buffers too
+        return {"params": restored["params"], "batch_stats": restored["batch_stats"]}
     return restored["params"]

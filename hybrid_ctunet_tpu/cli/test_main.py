@@ -35,6 +35,12 @@ def _softmax(x, axis=-1):
     return e / e.sum(axis, keepdims=True)
 
 
+def _variables(params):
+    """params collection, or a full variables dict for --norm_name batch
+    checkpoints (running BatchNorm buffers ride a 'batch_stats' sibling)."""
+    return params if "params" in params else {"params": params}
+
+
 def _dispatch(engine, params, case):
     """Device half of a case: dispatch the sliding-window chunks and return
     the UNFETCHED device canvases (execution continues asynchronously)."""
@@ -107,7 +113,7 @@ def _eval_mesh(args):
 
 def _single_engine(model, args, overlap=None):
     def predictor(x, params):
-        return model.apply({"params": params}, x)[0]
+        return model.apply(_variables(params), x)[0]
 
     return SlidingWindowEngine(
         predictor, (args.roi_x, args.roi_y, args.roi_z), sw_batch_size=4,
@@ -118,7 +124,7 @@ def _single_engine(model, args, overlap=None):
 
 def _dual_engine(model, args, overlap=None):
     def predictor(x, params):
-        (res, _, _), (vit, _) = model.apply({"params": params}, x)
+        (res, _, _), (vit, _) = model.apply(_variables(params), x)
         return res, vit
 
     return SlidingWindowEngine(
@@ -230,7 +236,7 @@ def test_final(argv=None):
     # branch per window and skips accumulating a full-volume map that would
     # be discarded (identical result, ~25% faster)
     def _ct_res_only(x, params):
-        (res, _, _), _ = ctunet.apply({"params": params}, x)
+        (res, _, _), _ = ctunet.apply(_variables(params), x)
         return res
 
     eng_ct = SlidingWindowEngine(

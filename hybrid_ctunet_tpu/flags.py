@@ -171,6 +171,14 @@ _DEFAULTS = {
     # (standalone chain A/B: C=64 1.31x, C=32 2.85x; C=128 loses, gated).
     "ALTFOLD": ("1", str),
     "ALTFOLD_CH": ("64", int),
+    # ResNet stage-1 alternating SHIFTED-quad fold (models/resnet3d.py
+    # _ShiftBottleneck): conv2 runs as the (3,3,2) half-fold-shifted factor-4
+    # kernel — 37.5% useful MACs vs 25% for the aligned factor-4 fold
+    # (1.21x standalone, tools/probe_altfold4.py). Blocks alternate a2s/s2a
+    # so the stage's I/O stays the aligned fold; residual re-grouping rides
+    # the add epilogue as shifted reads. NOTE: changes the stage-1 tail
+    # param-tree layout (pair scan) — checkpoints are layout-specific.
+    "ALTFOLD4": ("0", str),
     # sub-variants of the altfold block (A/B gates; see ResBlock):
     # MASKF: fuse the odd edge mask into the IN reduce+normalize passes —
     # measures NEUTRAL (XLA already fused the standalone mask multiplies);

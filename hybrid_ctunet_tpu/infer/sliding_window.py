@@ -379,7 +379,7 @@ class SlidingWindowEngine:
                             importance, *pred_args,
                         )
                     if rem:
-                        rb = 1 << (rem - 1).bit_length()
+                        rb = SlidingWindowEngine._remainder_bucket(rem)
                         sp = np.zeros((rb, 3), np.int32)
                         sp[:rem] = s_np[nfull * sw : nfull * sw + rem]
                         vp = np.zeros((rb,), np.float32)
@@ -448,6 +448,36 @@ class SlidingWindowEngine:
 
         return run, n_padded
 
+    def _plan(self, image_size, channels: int):
+        """The grid/canvas geometry shared by ``__call__`` and ``prewarm``
+        (one derivation so the two can never warm/dispatch different program
+        shapes): pad amounts, true padded size, window starts, the
+        bucket-rounded canvas, and the jit-cache key."""
+        lo, hi = _pad_amounts(image_size, self.roi_size)
+        padded_size = tuple(i + l + h for i, l, h in zip(image_size, lo, hi))
+        # the window grid always comes from the TRUE padded size (reference
+        # semantics); the canvas may be bucket-rounded beyond it
+        interval = get_scan_interval(padded_size, self.roi_size, self.overlap)
+        starts = dense_patch_starts(padded_size, self.roi_size, interval)
+        canvas_size = padded_size
+        if self.strategy == "loop" and self.canvas_bucket > 0:
+            b = self.canvas_bucket
+            canvas_size = tuple(-(-d // b) * b for d in padded_size)
+        if self.strategy == "loop":
+            # programs are window-count independent: key on canvas only
+            key = (canvas_size, channels)
+            n_for_build = 0
+        else:
+            key = (canvas_size, len(starts), channels)
+            n_for_build = len(starts)
+        return lo, hi, padded_size, starts, canvas_size, key, n_for_build
+
+    @staticmethod
+    def _remainder_bucket(rem: int) -> int:
+        """SW_REMAINDER chunk-size bucket: next power of two (caps extra
+        compiles at log2(sw) per canvas)."""
+        return 1 << (rem - 1).bit_length()
+
     def __call__(self, volume: jax.Array, *pred_args):
         """volume: (1, X, Y, Z, C) channels-last. Returns a tuple of blended
         full-volume maps (length = predictor's output arity), cropped to the
@@ -458,19 +488,10 @@ class SlidingWindowEngine:
         cached compiled program never bakes in stale weights."""
         assert volume.ndim == 5 and volume.shape[0] == 1, volume.shape
         image_size = volume.shape[1:4]
-        lo, hi = _pad_amounts(image_size, self.roi_size)
-        padded_size = tuple(i + l + h for i, l, h in zip(image_size, lo, hi))
-
-        # the window grid always comes from the TRUE padded size (reference
-        # semantics); the canvas may be bucket-rounded beyond it
-        interval = get_scan_interval(padded_size, self.roi_size, self.overlap)
-        starts = dense_patch_starts(padded_size, self.roi_size, interval)
+        lo, hi, padded_size, starts, canvas_size, key, n_for_build = self._plan(
+            image_size, volume.shape[-1]
+        )
         n = len(starts)
-
-        canvas_size = padded_size
-        if self.strategy == "loop" and self.canvas_bucket > 0:
-            b = self.canvas_bucket
-            canvas_size = tuple(-(-d // b) * b for d in padded_size)
         pad_cfg = [
             (0, 0),
             (lo[0], hi[0] + canvas_size[0] - padded_size[0]),
@@ -480,13 +501,6 @@ class SlidingWindowEngine:
         ]
         padded = jnp.pad(volume, pad_cfg)
 
-        if self.strategy == "loop":
-            # programs are window-count independent: key on canvas only
-            key = (canvas_size, volume.shape[-1])
-            n_for_build = 0
-        else:
-            key = (canvas_size, n, volume.shape[-1])
-            n_for_build = n
         if key not in self._jitted:
             self._jitted[key] = self._build(canvas_size, n_for_build, volume.shape[-1], pred_args)
         run, _ = self._jitted[key]
@@ -530,17 +544,14 @@ class SlidingWindowEngine:
         if self.strategy != "loop" or self.mesh is not None:
             return None
         image_size = tuple(volume_shape[1:4])
-        lo, hi = _pad_amounts(image_size, self.roi_size)
-        padded_size = tuple(i + l + h for i, l, h in zip(image_size, lo, hi))
-        interval = get_scan_interval(padded_size, self.roi_size, self.overlap)
-        n = len(dense_patch_starts(padded_size, self.roi_size, interval))
-        canvas_size = padded_size
-        if self.canvas_bucket > 0:
-            b = self.canvas_bucket
-            canvas_size = tuple(-(-d // b) * b for d in padded_size)
-        key = (canvas_size, int(volume_shape[-1]))
+        _, _, _, starts, canvas_size, key, n_for_build = self._plan(
+            image_size, int(volume_shape[-1])
+        )
+        n = len(starts)
         if key not in self._jitted:
-            self._jitted[key] = self._build(canvas_size, 0, int(volume_shape[-1]), pred_args)
+            self._jitted[key] = self._build(
+                canvas_size, n_for_build, int(volume_shape[-1]), pred_args
+            )
         run, _ = self._jitted[key]
         if not hasattr(run, "chunk_step"):
             return None
@@ -549,7 +560,7 @@ class SlidingWindowEngine:
         sizes = [sw]
         rem = n % sw
         if rem and flags.SW_REMAINDER == "1":
-            sizes.append(1 << (rem - 1).bit_length())
+            sizes.append(self._remainder_bucket(rem))
 
         importance = jnp.asarray(self._importance(self.roi_size))
         padded = jnp.zeros((1, *canvas_size, int(volume_shape[-1])), jnp.float32)

@@ -40,6 +40,7 @@ class CTUNet(nn.Module):
     dropout_rate: float = 0.0
     window: int = 6
     dtype: jnp.dtype = jnp.float32
+    norm_name: str = "instance"  # --norm_name conv-block dispatch
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -56,22 +57,24 @@ class CTUNet(nn.Module):
             dropout_rate=self.dropout_rate,
             window=self.window,
             dtype=self.dtype,
+            norm_name=self.norm_name,
             name="core",
         )(x, deterministic=deterministic)
         # pyramid: [768@6x6x12, 512@12x12x24, 256@24x24x48, 128@48x48x96, 64@full]
         vit_12, vit_24, vit_48 = pyramid[1], pyramid[2], pyramid[3]
 
+        nrm = self.norm_name
         enc1, enc2, enc3, enc4 = ResNet3D(
-            self.model_depth, DS_STRIDE, dtype=self.dtype, name="convnet"
+            self.model_depth, DS_STRIDE, dtype=self.dtype, norm=nrm, name="convnet"
         )(x)
 
-        dec3 = Up2FusionBlock(DIMS[2], DS_STRIDE[3], dtype=self.dtype, name="res_decoder3")(
+        dec3 = Up2FusionBlock(DIMS[2], DS_STRIDE[3], dtype=self.dtype, norm=nrm, name="res_decoder3")(
             enc4, enc3, vit_12
         )
-        dec2 = Up2FusionBlock(DIMS[1], DS_STRIDE[2], dtype=self.dtype, name="res_decoder2")(
+        dec2 = Up2FusionBlock(DIMS[1], DS_STRIDE[2], dtype=self.dtype, norm=nrm, name="res_decoder2")(
             dec3, enc2, vit_24
         )
-        dec1 = Up2FusionBlock(DIMS[0], DS_STRIDE[1], dtype=self.dtype, name="res_decoder1")(
+        dec1 = Up2FusionBlock(DIMS[0], DS_STRIDE[1], dtype=self.dtype, norm=nrm, name="res_decoder1")(
             dec2, enc1, vit_48
         )
         # FOLD96 (see tunet.py): res_decoder0's full-res ResBlock emits the
@@ -79,7 +82,7 @@ class CTUNet(nn.Module):
         # unfold moves to the 14-channel logits (4.6x less data).
         fold96 = flags.FOLD96 == "1" and x.shape[3] % 2 == 0
         res_out = UpConvBlock(
-            64, DS_STRIDE[0], dtype=self.dtype, fold_out=fold96,
+            64, DS_STRIDE[0], dtype=self.dtype, fold_out=fold96, norm=nrm,
             name="res_decoder0",
         )(dec1)
 

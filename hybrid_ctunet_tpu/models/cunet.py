@@ -23,17 +23,21 @@ class CUNet(nn.Module):
     out_channels: int = 14
     model_depth: int = 101
     dtype: jnp.dtype = jnp.float32
+    # --norm_name: "instance" (reference default) | "batch" | "batch:AXIS"
+    # (SyncBatchNorm over that mesh axis; reference main_C_TUNet.py:193-194)
+    norm_name: str = "instance"
 
     @nn.compact
     def __call__(self, x):
+        nrm = self.norm_name
         enc1, enc2, enc3, enc4 = ResNet3D(
-            self.model_depth, DS_STRIDE, dtype=self.dtype, name="convnet"
+            self.model_depth, DS_STRIDE, dtype=self.dtype, norm=nrm, name="convnet"
         )(x)
 
-        dec3 = UpCatConvBlock(DIMS[2], DS_STRIDE[3], dtype=self.dtype, name="res_decoder3")(enc4, enc3)
-        dec2 = UpCatConvBlock(DIMS[1], DS_STRIDE[2], dtype=self.dtype, name="res_decoder2")(dec3, enc2)
-        dec1 = UpCatConvBlock(DIMS[0], DS_STRIDE[1], dtype=self.dtype, name="res_decoder1")(dec2, enc1)
-        out = UpConvBlock(64, DS_STRIDE[0], dtype=self.dtype, name="res_decoder0")(dec1)
+        dec3 = UpCatConvBlock(DIMS[2], DS_STRIDE[3], dtype=self.dtype, norm=nrm, name="res_decoder3")(enc4, enc3)
+        dec2 = UpCatConvBlock(DIMS[1], DS_STRIDE[2], dtype=self.dtype, norm=nrm, name="res_decoder2")(dec3, enc2)
+        dec1 = UpCatConvBlock(DIMS[0], DS_STRIDE[1], dtype=self.dtype, norm=nrm, name="res_decoder1")(dec2, enc1)
+        out = UpConvBlock(64, DS_STRIDE[0], dtype=self.dtype, norm=nrm, name="res_decoder0")(dec1)
 
         logits = UnetOutHead(self.out_channels, dtype=self.dtype, name="res_out")(out)
         logits48 = UnetOutHead(self.out_channels, dtype=self.dtype, name="res_out_48x48")(dec1)

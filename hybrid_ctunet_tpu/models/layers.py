@@ -39,6 +39,7 @@ from ..ops.conv import (
     unfold_z,
 )
 from ..ops.norm import (
+    TorchBatchNorm,
     instance_norm,
     instance_norm_folded,
     instance_norm_leaky,
@@ -46,6 +47,34 @@ from ..ops.norm import (
     layer_norm,
     stats_to_affine,
 )
+
+
+def apply_norm(norm_name: str, h, *, act: bool = False, name: str = "norm"):
+    """Conv-path norm dispatch for ``--norm_name`` (reference threads it into
+    every conv block: hybrid_CTUNet.py:85-87, resnet.py:97-101).
+
+    ``"instance"``: the stateless affine-free InstanceNorm every README
+    command uses — no parameters, so the default param tree is unchanged.
+    ``"batch"`` / ``"batch:AXIS"``: TorchBatchNorm (params + batch_stats);
+    the ``:AXIS`` suffix syncs batch moments over that mapped mesh axis
+    (SyncBatchNorm under data-parallel training, main_C_TUNet.py:193-194).
+
+    Must be called from inside an ``@nn.compact`` method — the batch module
+    binds to the calling scope under ``name``."""
+    if norm_name == "instance":
+        return instance_norm_leaky(h) if act else instance_norm(h)
+    base, _, axis = norm_name.partition(":")
+    if base != "batch":
+        raise ValueError(
+            f"unsupported norm {norm_name!r}: expected 'instance', 'batch' "
+            "or 'batch:<mesh-axis>'"
+        )
+    h = TorchBatchNorm(sync_axis=axis or None, name=name)(h)
+    if act:
+        from ..ops.act import leaky_relu
+
+        return leaky_relu(h)
+    return h
 
 
 _REMAT_BLOCKS = True
@@ -94,7 +123,7 @@ class Conv3d(nn.Module):
 
     @nn.compact
     def __call__(self, x, in_affine=None, in_act=False, emit_stats=False,
-                 folded=False, altfold=""):
+                 folded=False, altfold="", altfold_factor=2):
         k = _triple(self.kernel_size)
         # folded: x is in the z-folded layout (ops/conv.py fold_z) carrying
         # factor*cin channels (True == factor 2, or an int factor); the
@@ -103,7 +132,7 @@ class Conv3d(nn.Module):
         # altfold ("a2o"/"o2a"): alternating-parity fold conv — x is the
         # aligned/odd z-fold layout respectively; same unfolded parameter.
         ff = (2 if folded is True else int(folded)) if folded else 0
-        cin = x.shape[-1] // (ff or 2) if (ff or altfold) else x.shape[-1]
+        cin = x.shape[-1] // (ff or altfold_factor) if (ff or altfold) else x.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
@@ -115,7 +144,7 @@ class Conv3d(nn.Module):
             assert _triple(self.stride) == (1, 1, 1) and k == (3, 3, 3)
             fn = conv3d_altfold_a2o if altfold == "a2o" else conv3d_altfold_o2a
             return fn(x.astype(self.dtype), w.astype(self.dtype),
-                      preferred_dtype=self.dtype)
+                      preferred_dtype=self.dtype, factor=altfold_factor)
         if ff:
             assert in_affine is None and not emit_stats
             assert _triple(self.stride) == (1, 1, 1)
@@ -630,6 +659,11 @@ class ResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fold_in: bool = False
     fold_out: bool = False
+    # --norm_name dispatch (apply_norm): "instance" keeps the historical
+    # zero-param path bit-for-bit; "batch"/"batch:AXIS" adds TorchBatchNorm
+    # modules norm1/norm2/norm3 and disables the instance-only fold fast
+    # paths (their folded-IN statistics are instance semantics).
+    norm: str = "instance"
 
     @nn.compact
     def __call__(self, x, skip=None):
@@ -645,13 +679,14 @@ class ResBlock(nn.Module):
         # WINOGRAD=2 fused-IN chain — experimental, default off; gate
         # evaluated pre-unfold since it requires the standard layout
         wino2 = False
-        if flags.WINOGRAD == "2":
+        if flags.WINOGRAD == "2" and self.norm == "instance":
             from .experimental import wino2_engages
 
             wino2 = wino2_engages(self, x, stride, f, k3)
 
         altfold = (
             not wino2
+            and self.norm == "instance"
             and flags.ALTFOLD == "1"
             and k3
             and stride == (1, 1, 1)
@@ -724,7 +759,7 @@ class ResBlock(nn.Module):
             x = unfold_z(x)
             skip = unfold_z(skip) if skip is not None else None
 
-        if wino2 or (flags.ZFOLD == "1" and flags.ZFOLD_RES == "1"):
+        if (wino2 or (flags.ZFOLD == "1" and flags.ZFOLD_RES == "1")) and self.norm == "instance":
             # quarantined default-off variants (ZFOLD_RES, WINOGRAD=2) —
             # behavior-identical, measured end-to-end losses on the
             # flagship config; see models/experimental.py
@@ -740,9 +775,9 @@ class ResBlock(nn.Module):
         else:
             out = _SplitInputConv3d(self.features, self.kernel_size, self.stride,
                                     dtype=self.dtype, name="conv1")(x, skip)
-        out = instance_norm_leaky(out)
+        out = apply_norm(self.norm, out, act=True, name="norm1")
         out = Conv3d(self.features, self.kernel_size, 1, dtype=self.dtype, name="conv2")(out)
-        out = instance_norm(out)
+        out = apply_norm(self.norm, out, name="norm2")
 
         if needs_proj:
             if skip is None:
@@ -751,7 +786,7 @@ class ResBlock(nn.Module):
             else:
                 residual = _SplitInputConv3d(self.features, 1, self.stride,
                                              dtype=self.dtype, name="conv3")(x, skip)
-            residual = instance_norm(residual)
+            residual = apply_norm(self.norm, residual, name="norm3")
         else:
             residual = x if skip is None else jnp.concatenate(
                 [x, skip.astype(x.dtype)], axis=-1
@@ -768,6 +803,7 @@ class UpCatConvBlock(nn.Module):
     upsample_stride: Sequence[int]
     kernel_size: int = 3
     dtype: jnp.dtype = jnp.float32
+    norm: str = "instance"
 
     @nn.compact
     def __call__(self, x, skip):
@@ -777,7 +813,8 @@ class UpCatConvBlock(nn.Module):
         )(x)
         # virtual concat: ResBlock splits its kernels over (out, skip)
         return maybe_remat(ResBlock)(
-            self.features, self.kernel_size, 1, dtype=self.dtype, name="conv_block"
+            self.features, self.kernel_size, 1, dtype=self.dtype, norm=self.norm,
+            name="conv_block"
         )(out, skip)
 
 
@@ -790,6 +827,7 @@ class UpConvBlock(nn.Module):
     kernel_size: int = 3
     dtype: jnp.dtype = jnp.float32
     fold_out: bool = False
+    norm: str = "instance"
 
     @nn.compact
     def __call__(self, x):
@@ -809,7 +847,8 @@ class UpConvBlock(nn.Module):
         )(x)
         return maybe_remat(ResBlock)(
             self.features, self.kernel_size, 1, dtype=self.dtype,
-            fold_in=fold_mid, fold_out=self.fold_out, name="conv_block"
+            fold_in=fold_mid, fold_out=self.fold_out, norm=self.norm,
+            name="conv_block"
         )(out)
 
 
@@ -822,18 +861,21 @@ class Up2FusionBlock(nn.Module):
     upsample_stride: Sequence[int]
     kernel_size: int = 3
     dtype: jnp.dtype = jnp.float32
+    norm: str = "instance"
 
     @nn.compact
     def __call__(self, x, skip_conv, skip_vit):
         skip = PixelweightFusion(dtype=self.dtype, name="pixelweight_attention1")(skip_conv, skip_vit)
-        skip = maybe_remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="up_addconv_block1")(skip)
+        skip = maybe_remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype,
+                                     norm=self.norm, name="up_addconv_block1")(skip)
 
         out = ConvTranspose3d(
             self.features, self.upsample_stride, self.upsample_stride, dtype=self.dtype,
             name="transp_conv",
         )(x)
         out = PixelweightFusion(dtype=self.dtype, name="pixelweight_attention2")(out, skip)
-        return maybe_remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype, name="up_addconv_block2")(out)
+        return maybe_remat(ResBlock)(self.features, self.kernel_size, 1, dtype=self.dtype,
+                                     norm=self.norm, name="up_addconv_block2")(out)
 
 
 class CatConvBlock(nn.Module):
@@ -847,13 +889,15 @@ class CatConvBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fold_in: bool = False
     fold_out: bool = False
+    norm: str = "instance"
 
     @nn.compact
     def __call__(self, x, skip):
         # virtual concat: ResBlock splits its kernels over (x, skip)
         return maybe_remat(ResBlock)(
             self.features, self.kernel_size, 1, dtype=self.dtype,
-            fold_in=self.fold_in, fold_out=self.fold_out, name="conv_block"
+            fold_in=self.fold_in, fold_out=self.fold_out, norm=self.norm,
+            name="conv_block"
         )(x, skip)
 
 

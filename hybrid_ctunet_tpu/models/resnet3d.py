@@ -22,14 +22,20 @@ import jax.numpy as jnp
 
 from .. import flags
 from ..ops.act import leaky_relu
-from ..ops.conv import fold_z, unfold_z
+from ..ops.conv import (
+    fold_z,
+    odd_edge_mask,
+    shift_fold_a2s,
+    shift_fold_s2a,
+    unfold_z,
+)
 from ..ops.norm import (
     instance_norm,
     instance_norm_folded,
     instance_norm_leaky,
     instance_norm_leaky_folded,
 )
-from .layers import Conv3d, maybe_remat
+from .layers import Conv3d, apply_norm, maybe_remat
 
 LAYER_COUNTS = {
     50: (3, 4, 6, 3),
@@ -56,6 +62,7 @@ class Bottleneck(nn.Module):
     stride: Sequence[int] | int = 1
     folded: int = 0
     dtype: jnp.dtype = jnp.float32
+    norm: str = "instance"  # --norm_name dispatch; "batch" disables folding
 
     @nn.compact
     def __call__(self, x):
@@ -81,17 +88,99 @@ class Bottleneck(nn.Module):
 
         cin = x.shape[-1]
         out = Conv3d(self.planes, 1, 1, dtype=self.dtype, name="conv1")(x)
-        out = instance_norm_leaky(out)
+        out = apply_norm(self.norm, out, act=True, name="norm1")
         out = Conv3d(self.planes, 3, stride, dtype=self.dtype, name="conv2")(out)
-        out = instance_norm_leaky(out)
+        out = apply_norm(self.norm, out, act=True, name="norm2")
         out = Conv3d(cout, 1, 1, dtype=self.dtype, name="conv3")(out)
-        out = instance_norm(out)
+        out = apply_norm(self.norm, out, name="norm3")
 
         residual = x
         if any(s != 1 for s in stride) or cin != cout:
             residual = Conv3d(cout, 1, stride, dtype=self.dtype, name="downsample_conv")(x)
-            residual = instance_norm(residual)
+            residual = apply_norm(self.norm, residual, name="downsample_norm")
         return leaky_relu(out + residual)
+
+
+class _ShiftBottleneck(nn.Module):
+    """Stride-1 bottleneck in the ALTFOLD4 alternating shifted z-fold chain.
+
+    ``direction="a2s"``: aligned fold input (B,X,Y,Zf,f*cin) -> shifted
+    output (B,X,Y,Zf+1,f*cout); ``"s2a"``: shifted -> aligned. conv2 runs as
+    the (3,3,2) half-fold-shifted kernel (ops/conv.py altfold_kernel,
+    factor 4: 12/32 live blocks = 37.5% useful MACs vs 25% for the aligned
+    factor-4 fold — measured 2.91 -> 2.40 ms standalone on the stage-1 conv2
+    shape, tools/probe_altfold4.py); conv1/conv3 stay block-diagonal in
+    either grouping (a 1x1 maps each plane independently). The residual
+    re-groups via shift_fold_a2s/s2a — slice+pad+concat reads that fuse into
+    the residual-add epilogue. Shifted tensors carry ZERO in their two
+    virtual edge half-slots (they stand in for conv z-padding): masked
+    folded-IN statistics (count override) keep them out of the moments and
+    re-zero them after the affine. Param tree identical to ``Bottleneck``
+    (instance norm only — ALTFOLD4 is gated off for --norm_name batch)."""
+
+    planes: int
+    direction: str  # "a2s" | "s2a"
+    factor: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.factor
+        cout = self.planes * EXPANSION
+        cin = x.shape[-1] // f
+        a2s = self.direction == "a2s"
+        shifted_in = not a2s
+        zf = x.shape[3] - (1 if shifted_in else 0)
+        n_vox = x.shape[1] * x.shape[2] * zf * f  # true voxels per channel
+
+        def norm(t, shifted: bool, act: bool):
+            kw = {}
+            if shifted:
+                kw = dict(
+                    count=n_vox,
+                    mask=odd_edge_mask(t.shape[3], t.shape[4], jnp.float32)[
+                        None, None, None
+                    ],
+                )
+            fn = instance_norm_leaky_folded if act else instance_norm_folded
+            return fn(t, factor=f, **kw)
+
+        out = Conv3d(self.planes, 1, 1, dtype=self.dtype, name="conv1")(x, folded=f)
+        out = norm(out, shifted_in, act=True)
+        out = Conv3d(self.planes, 3, 1, dtype=self.dtype, name="conv2")(
+            out, altfold=("a2o" if a2s else "o2a"), altfold_factor=f
+        )
+        out = norm(out, a2s, act=True)
+        out = Conv3d(cout, 1, 1, dtype=self.dtype, name="conv3")(out, folded=f)
+        out = norm(out, a2s, act=False)
+
+        residual = x
+        if cin != cout:
+            residual = Conv3d(cout, 1, 1, dtype=self.dtype, name="downsample_conv")(
+                x, folded=f
+            )
+            residual = norm(residual, shifted_in, act=False)
+        # re-group the residual to the output's layout; virtual edge planes
+        # arrive as zeros from the pad, matching the masked-out output slots
+        residual = shift_fold_a2s(residual) if a2s else shift_fold_s2a(residual)
+        return leaky_relu(out + residual)
+
+
+class _ScanShiftPair(nn.Module):
+    """scan body for the ALTFOLD4 tail: (shifted carry) -> s2a block ->
+    a2s block -> (shifted carry)."""
+
+    planes: int
+    factor: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, _):
+        h = _ShiftBottleneck(self.planes, "s2a", self.factor, self.dtype,
+                             name="block_s2a")(h)
+        h = _ShiftBottleneck(self.planes, "a2s", self.factor, self.dtype,
+                             name="block_a2s")(h)
+        return h, None
 
 
 class _ScanBottleneck(nn.Module):
@@ -100,11 +189,13 @@ class _ScanBottleneck(nn.Module):
     planes: int
     folded: int = 0
     dtype: jnp.dtype = jnp.float32
+    norm: str = "instance"
 
     @nn.compact
     def __call__(self, h, _):
         return Bottleneck(
-            self.planes, 1, folded=self.folded, dtype=self.dtype, name="block"
+            self.planes, 1, folded=self.folded, dtype=self.dtype, norm=self.norm,
+            name="block"
         )(h), None
 
 
@@ -122,6 +213,7 @@ class ResNet3D(nn.Module):
     in_stem: int = 64
     scan_blocks: bool = True
     dtype: jnp.dtype = jnp.float32
+    norm: str = "instance"
 
     @nn.compact
     def __call__(self, x, upto: int | None = None):
@@ -137,7 +229,7 @@ class ResNet3D(nn.Module):
             self.in_stem, (7, 7, self.conv1_t_size), self.ds_stride[0], dtype=self.dtype,
             name="conv1",
         )(x)
-        h = instance_norm_leaky(h)
+        h = apply_norm(self.norm, h, act=True, name="norm1")
         if upto == 0:
             return [h]
 
@@ -159,14 +251,59 @@ class ResNet3D(nn.Module):
             # folded (round-5 per-stage attribution, tools/profile_encoder.py:
             # layer2's 8 tail blocks were the last unfolded C=64 conv pool).
             factor = max(1, min(flags.ZFOLD_FACTOR, 128 // planes))
-            fold_ok = flags.ZFOLD == "1" and planes <= flags.ZFOLD_CH and factor > 1
+            fold_ok = (
+                flags.ZFOLD == "1" and planes <= flags.ZFOLD_CH and factor > 1
+                and self.norm == "instance"  # folded IN is instance semantics
+            )
             folded = factor if (
                 fold_ok and s3 == (1, 1, 1) and h.shape[3] % factor == 0
             ) else 0
             if folded:
                 h = fold_z(h, folded)
+            if folded == 4 and flags.ALTFOLD4 == "1" and blocks % 2 == 0:
+                # alternating shifted-quad chain (see _ShiftBottleneck):
+                # a2s block0, (blocks-2)/2 scanned (s2a, a2s) pairs, final
+                # s2a — even block count returns the stage to the aligned
+                # fold, so stage I/O is unchanged. NOTE the tail param tree
+                # differs from the standard stacked layerN_tail (pairs stack
+                # on (blocks-2)/2); checkpoints are layout-specific.
+                h = _ShiftBottleneck(
+                    planes, "a2s", folded, self.dtype,
+                    name=f"layer{stage + 1}_block0",
+                )(h)
+                n_pairs = (blocks - 2) // 2
+                if n_pairs > 0:
+                    if self.scan_blocks:
+                        Pair = nn.scan(
+                            maybe_remat(_ScanShiftPair),
+                            variable_axes={"params": 0},
+                            split_rngs={"params": True},
+                            length=n_pairs,
+                            metadata_params={nn.PARTITION_NAME: None},
+                        )
+                        h, _ = Pair(
+                            planes, folded, self.dtype,
+                            name=f"layer{stage + 1}_ptail",
+                        )(h, None)
+                    else:
+                        for b in range(n_pairs):
+                            h = _ShiftBottleneck(
+                                planes, "s2a", folded, self.dtype,
+                                name=f"layer{stage + 1}_pair{b}_s2a")(h)
+                            h = _ShiftBottleneck(
+                                planes, "a2s", folded, self.dtype,
+                                name=f"layer{stage + 1}_pair{b}_a2s")(h)
+                h = _ShiftBottleneck(
+                    planes, "s2a", folded, self.dtype,
+                    name=f"layer{stage + 1}_blockF",
+                )(h)
+                h = unfold_z(h, folded)
+                features.append(h)
+                if upto is not None and upto == stage + 1:
+                    return features
+                continue
             h = Bottleneck(
-                planes, stride, folded=folded, dtype=self.dtype,
+                planes, stride, folded=folded, dtype=self.dtype, norm=self.norm,
                 name=f"layer{stage + 1}_block0",
             )(h)
             tail_folded = folded
@@ -179,19 +316,19 @@ class ResNet3D(nn.Module):
                 # OOM 16G HBM otherwise); free for inference.
                 Tail = nn.scan(
                     maybe_remat(_ScanBottleneck),
-                    variable_axes={"params": 0},
+                    variable_axes={"params": 0, "batch_stats": 0},
                     split_rngs={"params": True},
                     length=blocks - 1,
                     metadata_params={nn.PARTITION_NAME: None},
                 )
                 h, _ = Tail(
-                    planes, folded=tail_folded, dtype=self.dtype,
+                    planes, folded=tail_folded, dtype=self.dtype, norm=self.norm,
                     name=f"layer{stage + 1}_tail",
                 )(h, None)
             else:
                 for b in range(1, blocks):
                     h = Bottleneck(
-                        planes, 1, folded=tail_folded, dtype=self.dtype,
+                        planes, 1, folded=tail_folded, dtype=self.dtype, norm=self.norm,
                         name=f"layer{stage + 1}_block{b}",
                     )(h)
             if tail_folded:

@@ -39,6 +39,7 @@ class TUNetCore(nn.Module):
     dropout_rate: float = 0.0
     window: int = 6
     dtype: jnp.dtype = jnp.float32
+    norm_name: str = "instance"  # --norm_name conv-block dispatch
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -84,12 +85,12 @@ class TUNetCore(nn.Module):
 
         stem = maybe_remat(ResBlock)(
             self.dim_conv_stem, 3, 1, dtype=self.dtype, fold_out=fold96,
-            name="vit_encoder0",
+            norm=self.norm_name, name="vit_encoder0",
         )(x)
         p_last = pyramid[-1] if fold_last or not fold96 else fold_z(pyramid[-1])
         fused = CatConvBlock(
             self.dim_conv_stem, dtype=self.dtype, fold_in=fold96,
-            fold_out=fold96, name="vit_decoder0",
+            fold_out=fold96, norm=self.norm_name, name="vit_decoder0",
         )(p_last, stem)
         vit_logits = UnetOutHead(self.out_channels, dtype=self.dtype, name="vit_out")(
             fused, folded=fold96
@@ -120,6 +121,7 @@ class TUNet(nn.Module):
     dropout_rate: float = 0.0
     window: int = 6
     dtype: jnp.dtype = jnp.float32
+    norm_name: str = "instance"
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -136,6 +138,7 @@ class TUNet(nn.Module):
             dropout_rate=self.dropout_rate,
             window=self.window,
             dtype=self.dtype,
+            norm_name=self.norm_name,
             name="core",
         )(x, deterministic=deterministic)
         return (vit_logits, vit_96)

@@ -208,21 +208,29 @@ def conv3d_folded(
     )
 
 
-def altfold_kernel(w: jax.Array) -> jax.Array:
-    """(3,3,3,C,F) -> (3,3,2,2C,2F) alternating-parity folded kernel.
+def altfold_kernel(w: jax.Array, factor: int = 2) -> jax.Array:
+    """(3,3,3,C,F) -> (3,3,2,fC,fF) half-fold-SHIFTED folded kernel.
 
-    Used by both :func:`conv3d_altfold_a2o` (aligned-pair input -> odd-pair
-    output) and :func:`conv3d_altfold_o2a` (odd -> aligned): in either
-    direction, input pair ``q + kzf`` contributes plane offset
-    ``dz = 2*kzf + a - b - 1`` to output slot ``b``, live iff |dz| <= 1 —
-    6 of the 8 (kzf, a, b) blocks, i.e. 75% useful MACs at 2C lanes
-    (vs 50% for the same-parity fold of :func:`conv3d_folded`)."""
+    Used by both :func:`conv3d_altfold_a2o` (aligned-fold input -> shifted
+    output) and :func:`conv3d_altfold_o2a` (shifted -> aligned): output slot
+    ``b`` of a shifted fold (planes ``f*q - f/2 .. f*q + f/2 - 1``) reads
+    exactly two aligned folds, so in either direction input slot ``a`` of
+    fold ``q + kzf`` contributes plane offset ``dz = f*kzf + a - b - f/2``,
+    live iff |dz| <= 1 — ``3f`` of the ``2f^2`` (kzf, a, b) blocks:
+
+    - factor 2 ("odd pairs"): 6/8 live = 75% useful MACs at 2C lanes
+      (vs 50% for the same-parity fold of :func:`conv3d_folded`);
+    - factor 4 (shifted quads, round 5): 12/32 live = 37.5% useful at 4C
+      lanes (vs 25% for the aligned factor-4 fold — 1.5x fewer MACs for the
+      ResNet stage-1 conv2, tools/probe_altfold4.py)."""
     C, F = w.shape[3], w.shape[4]
-    wf = jnp.zeros((3, 3, 2, 2 * C, 2 * F), w.dtype)
+    f = int(factor)
+    assert f % 2 == 0, f
+    wf = jnp.zeros((3, 3, 2, f * C, f * F), w.dtype)
     for kzf in (0, 1):
-        for a in (0, 1):
-            for b in (0, 1):
-                dz = 2 * kzf + a - b - 1
+        for a in range(f):
+            for b in range(f):
+                dz = f * kzf + a - b - f // 2
                 if -1 <= dz <= 1:
                     wf = wf.at[:, :, kzf, a * C : (a + 1) * C, b * F : (b + 1) * F].set(
                         w[:, :, dz + 1]
@@ -230,7 +238,8 @@ def altfold_kernel(w: jax.Array) -> jax.Array:
     return wf
 
 
-def conv3d_altfold_a2o(xf: jax.Array, w: jax.Array, *, preferred_dtype=jnp.float32):
+def conv3d_altfold_a2o(xf: jax.Array, w: jax.Array, *, preferred_dtype=jnp.float32,
+                       factor: int = 2):
     """Stride-1 SAME 3^3 conv from the ALIGNED z-fold layout to the ODD one.
 
     ``xf``: (B, X, Y, Zf, 2C) aligned fold (:func:`fold_z` — slot pair
@@ -248,7 +257,7 @@ def conv3d_altfold_a2o(xf: jax.Array, w: jax.Array, *, preferred_dtype=jnp.float
     Measured v5e: 128-lane convs run ~139 TF/s raw (tools/probe_conv_rates)
     vs ~50 at 64 lanes, so the C=64 full-res decoder convs
     (reference hybrid_CTUNet.py:29-105) net ~2x despite the 33% overhead."""
-    wf = altfold_kernel(w)
+    wf = altfold_kernel(w, factor)
     dn = _DN(xf.shape, wf.shape, ("NDHWC", "DHWIO", "NDHWC"))
     return lax.conv_general_dilated(
         xf, wf, (1, 1, 1), [(1, 1), (1, 1), (1, 1)], dimension_numbers=dn,
@@ -256,7 +265,8 @@ def conv3d_altfold_a2o(xf: jax.Array, w: jax.Array, *, preferred_dtype=jnp.float
     )
 
 
-def conv3d_altfold_o2a(y_odd: jax.Array, w: jax.Array, *, preferred_dtype=jnp.float32):
+def conv3d_altfold_o2a(y_odd: jax.Array, w: jax.Array, *, preferred_dtype=jnp.float32,
+                       factor: int = 2):
     """Stride-1 SAME 3^3 conv from the ODD z-fold layout back to ALIGNED.
 
     ``y_odd``: (B, X, Y, Zf+1, 2C), odd layout as produced by
@@ -264,11 +274,36 @@ def conv3d_altfold_o2a(y_odd: jax.Array, w: jax.Array, *, preferred_dtype=jnp.fl
     (:func:`mask_odd_edges` — they stand in for the conv's z zero-padding).
     Returns (B, X, Y, Zf, 2F) in the aligned fold layout
     (``unfold_z``-compatible). Same 75%-live folded kernel."""
-    wf = altfold_kernel(w)
+    wf = altfold_kernel(w, factor)
     dn = _DN(y_odd.shape, wf.shape, ("NDHWC", "DHWIO", "NDHWC"))
     return lax.conv_general_dilated(
         y_odd, wf, (1, 1, 1), [(1, 1), (1, 1), (0, 0)], dimension_numbers=dn,
         preferred_element_type=preferred_dtype,
+    )
+
+
+def shift_fold_a2s(x: jax.Array) -> jax.Array:
+    """Re-group an ALIGNED z-fold tensor (B,X,Y,Zf,fC) into the half-fold-
+    SHIFTED layout (B,X,Y,Zf+1,fC): shifted slot q holds planes
+    ``f*q - f/2 .. f*q + f/2 - 1`` — first channel half from aligned slot
+    q-1's second half, second half from slot q's first half; virtual edge
+    planes are zero (they stand in for conv z-padding). Two slices + a pad +
+    a concat: XLA fuses these re-indexed reads into the consuming
+    elementwise pass (e.g. the bottleneck residual add), so the re-grouping
+    costs no standalone copy."""
+    half = x.shape[-1] // 2
+    lo = jnp.pad(x[..., half:], ((0, 0),) * 3 + ((1, 0), (0, 0)))
+    hi = jnp.pad(x[..., :half], ((0, 0),) * 3 + ((0, 1), (0, 0)))
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def shift_fold_s2a(x: jax.Array) -> jax.Array:
+    """Inverse re-grouping of :func:`shift_fold_a2s`: shifted (B,X,Y,Zf+1,fC)
+    -> aligned (B,X,Y,Zf,fC). Aligned slot q = [shifted slot q's second
+    half, shifted slot q+1's first half]."""
+    half = x.shape[-1] // 2
+    return jnp.concatenate(
+        [x[:, :, :, :-1, half:], x[:, :, :, 1:, :half]], axis=-1
     )
 
 

@@ -54,7 +54,7 @@ def make_dp_train_step(
         if dropout:
             rng = jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state.step)
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-        loss, aux, grads = compute_grads(
+        loss, aux, grads, new_bs = compute_grads(
             loss_impl, state, image, label,
             smooth_nr=smooth_nr, smooth_dr=smooth_dr, remat=remat, grad_accum=grad_accum,
             dropout_rng=rng,
@@ -70,6 +70,11 @@ def make_dp_train_step(
         aux = {k: jax.lax.pmean(v, axis) for k, v in aux.items()}
         state = set_learning_rate(state, lr)
         state = state.apply_gradients(grads=grads)
+        if new_bs is not None:
+            # SyncBatchNorm ("batch:data"): the moments were pmean'd inside
+            # the forward, so every shard computed identical buffers — the
+            # replicated update needs no further collective.
+            state = state.replace(batch_stats=new_bs)
         return state, {"loss": logged_loss, **aux}
 
     mapped = shard_map(

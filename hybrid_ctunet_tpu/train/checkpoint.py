@@ -45,6 +45,10 @@ def save_checkpoint(
         "epoch": int(epoch),
         "best_acc": float(best_acc),
     }
+    if getattr(state, "batch_stats", None) is not None:
+        # --norm_name batch: BatchNorm running buffers (torch saves them
+        # inside state_dict; orbax keeps them as a sibling collection)
+        payload["batch_stats"] = jax.device_get(state.batch_stats)
     ckpt = _checkpointer()
     ckpt.save(path, payload, force=True)
     return path
@@ -62,6 +66,8 @@ def load_checkpoint(path: str, state: Optional[TrainState] = None) -> Dict[str, 
             "epoch": 0,
             "best_acc": 0.0,
         }
+        if getattr(state, "batch_stats", None) is not None:
+            template["batch_stats"] = jax.device_get(state.batch_stats)
         restored = ckpt.restore(os.path.abspath(path), item=template)
     else:
         restored = ckpt.restore(os.path.abspath(path))
@@ -69,6 +75,8 @@ def load_checkpoint(path: str, state: Optional[TrainState] = None) -> Dict[str, 
 
 
 def restore_train_state(state: TrainState, restored: Dict[str, Any]) -> TrainState:
+    if restored.get("batch_stats") is not None:
+        state = state.replace(batch_stats=restored["batch_stats"])
     return state.replace(
         params=restored["params"],
         opt_state=jax.tree.map(

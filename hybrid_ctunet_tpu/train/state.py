@@ -17,7 +17,14 @@ from flax.training import train_state
 
 
 class TrainState(train_state.TrainState):
-    """TrainState whose LR is injected per-step (computed from the epoch)."""
+    """TrainState whose LR is injected per-step (computed from the epoch).
+
+    ``batch_stats``: the model's running-stats collection when it has one
+    (``--norm_name batch``); ``None`` for the stateless instance-norm models.
+    Train steps apply with ``mutable=["batch_stats"]`` and fold the updated
+    collection back in (the functional analogue of torch's buffer updates)."""
+
+    batch_stats: Any = None
 
 
 def make_optimizer(
@@ -63,7 +70,10 @@ def create_train_state(
 ) -> TrainState:
     variables = model.init(rng, example_input)
     tx = make_optimizer(optim_name, reg_weight=reg_weight, momentum=momentum)
-    return TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx)
+    return TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        batch_stats=variables.get("batch_stats"),
+    )
 
 
 def set_learning_rate(state: TrainState, lr) -> TrainState:

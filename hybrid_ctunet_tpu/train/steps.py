@@ -65,36 +65,50 @@ LOSS_FNS = {"cunet": cunet_loss_fn, "tunet": tunet_loss_fn, "ctunet": ctunet_los
 
 def compute_grads(loss_impl, state, image, label, *, smooth_nr, smooth_dr,
                   remat=False, grad_accum=1, dropout_rng=None):
-    """(loss, aux, grads) with optional remat and exact lax.scan gradient
-    accumulation over microbatches (see make_train_step docstring).
+    """(loss, aux, grads, new_batch_stats) with optional remat and exact
+    lax.scan gradient accumulation over microbatches (see make_train_step
+    docstring).
 
     ``dropout_rng``: when given, the forward runs with deterministic=False
     and this rng feeds the 'dropout' collection (reference trains with
-    --dropout_rate, e.g. the shipped CTUNet_ds8_dr0.2 checkpoints)."""
+    --dropout_rate, e.g. the shipped CTUNet_ds8_dr0.2 checkpoints).
 
-    def make_loss_fn(rng):
+    ``new_batch_stats`` is None for the stateless instance-norm models; with
+    --norm_name batch the forward applies with mutable batch_stats (torch
+    train-mode semantics) and the updated running buffers are returned. With
+    grad_accum > 1 the buffers fold sequentially across microbatches (each
+    microbatch normalizes over its own samples — torch-with-accumulation
+    semantics; the reference itself never accumulates)."""
+
+    def make_loss_fn(rng, bstats):
         def loss_fn(params, im, lb):
             def apply(variables, x):
+                kw = {}
                 if rng is not None:
-                    return state.apply_fn(
-                        variables, x, deterministic=False, rngs={"dropout": rng}
+                    kw = dict(deterministic=False, rngs={"dropout": rng})
+                if bstats is not None:
+                    outs, upd = state.apply_fn(
+                        {**variables, "batch_stats": bstats}, x,
+                        mutable=["batch_stats"], **kw,
                     )
-                return state.apply_fn(variables, x)
+                    return outs, upd["batch_stats"]
+                return state.apply_fn(variables, x, **kw), None
 
             if remat:
                 apply = jax.checkpoint(apply)
-            outs = apply({"params": params}, im)
-            return loss_impl(outs, lb, smooth_nr=smooth_nr, smooth_dr=smooth_dr)
+            outs, new_bs = apply({"params": params}, im)
+            loss, aux = loss_impl(outs, lb, smooth_nr=smooth_nr, smooth_dr=smooth_dr)
+            return loss, (aux, new_bs)
 
         return loss_fn
 
-    loss_fn = make_loss_fn(dropout_rng)
+    loss_fn = make_loss_fn(dropout_rng, state.batch_stats)
 
     if grad_accum <= 1:
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (aux, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, image, label
         )
-        return loss, aux, grads
+        return loss, aux, grads, new_bs
 
     B = image.shape[0]
     assert B % grad_accum == 0, (B, grad_accum)
@@ -111,24 +125,24 @@ def compute_grads(loss_impl, state, image, label, *, smooth_nr, smooth_dr,
     )
 
     def micro(carry, xs):
-        g_acc, l_acc, a_acc = carry
+        g_acc, l_acc, a_acc, bs = carry
         im, lb, rng = xs
-        fn = make_loss_fn(rng if dropout_rng is not None else None)
-        (l, a), g = jax.value_and_grad(fn, has_aux=True)(state.params, im, lb)
+        fn = make_loss_fn(rng if dropout_rng is not None else None, bs)
+        (l, (a, new_bs)), g = jax.value_and_grad(fn, has_aux=True)(state.params, im, lb)
         g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
         a_acc = jax.tree_util.tree_map(jnp.add, a_acc, a)
-        return (g_acc, l_acc + l, a_acc), None
+        return (g_acc, l_acc + l, a_acc, new_bs if bs is not None else bs), None
 
     zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-    _, a0 = jax.eval_shape(lambda p: loss_fn(p, im_mb[0], lb_mb[0]), state.params)
+    _, (a0, _) = jax.eval_shape(lambda p: loss_fn(p, im_mb[0], lb_mb[0]), state.params)
     zeros_a = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), a0)
-    (grads, loss, aux), _ = jax.lax.scan(
-        micro, (zeros_g, 0.0, zeros_a), (im_mb, lb_mb, mb_rngs)
+    (grads, loss, aux, new_bs), _ = jax.lax.scan(
+        micro, (zeros_g, 0.0, zeros_a, state.batch_stats), (im_mb, lb_mb, mb_rngs)
     )
     inv = 1.0 / grad_accum
     grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
     aux = jax.tree_util.tree_map(lambda a: a * inv, aux)
-    return loss * inv, aux, grads
+    return loss * inv, aux, grads, new_bs
 
 
 def make_train_step(model_name: str, *, smooth_nr: float = 0.0, smooth_dr: float = 1e-6,
@@ -159,7 +173,7 @@ def make_train_step(model_name: str, *, smooth_nr: float = 0.0, smooth_dr: float
             if dropout
             else None
         )
-        loss, aux, grads = compute_grads(
+        loss, aux, grads, new_bs = compute_grads(
             loss_impl, state, image, label,
             smooth_nr=smooth_nr, smooth_dr=smooth_dr, remat=remat, grad_accum=grad_accum,
             dropout_rng=rng,
@@ -170,6 +184,8 @@ def make_train_step(model_name: str, *, smooth_nr: float = 0.0, smooth_dr: float
             aux = jax.lax.pmean(aux, pmean_axis)
         state = set_learning_rate(state, lr)
         state = state.apply_gradients(grads=grads)
+        if new_bs is not None:
+            state = state.replace(batch_stats=new_bs)
         metrics = {"loss": loss, **aux}
         return state, metrics
 

@@ -124,7 +124,12 @@ def make_val_engine(model, cfg: TrainConfig, *, dual_output: bool) -> SlidingWin
     into the compiled program)."""
 
     def predictor(x, params):
-        outs = model.apply({"params": params}, x)
+        # `params` is the params collection, or a full variables dict
+        # ({"params": ..., "batch_stats": ...}) for --norm_name batch models
+        # (eval-mode BatchNorm needs its running buffers; immutably applied
+        # = torch model.eval()).
+        variables = params if "params" in params else {"params": params}
+        outs = model.apply(variables, x)
         if dual_output:
             return outs[0][0], outs[1][0]
         return outs[0]
@@ -242,7 +247,11 @@ def run_training(
                                 best_acc=max(best.values()))
 
         if (epoch + 1) % cfg.val_every == 0 and len(val_cases) > 0:
-            accs = val_epoch(engine, state.params, val_cases, cfg, dual_output=dual)
+            eval_vars = (
+                {"params": state.params, "batch_stats": state.batch_stats}
+                if state.batch_stats is not None else state.params
+            )
+            accs = val_epoch(engine, eval_vars, val_cases, cfg, dual_output=dual)
             if dual:
                 acc_h, acc_r, acc_v = accs
                 writer.add_scalar("val_acc_hybrid", acc_h, epoch)

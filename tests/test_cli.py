@@ -430,3 +430,46 @@ def test_eval_cli_distributed_mesh_matches_single(tmp_path):
     finally:
         os.chdir(cwd)
     np.testing.assert_allclose(rows_dist, rows_single, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_train_cli_norm_batch(tmp_path):
+    """--norm_name batch end-to-end: the CLI builds a BatchNorm CUNet, the
+    trainer threads batch_stats through train + val, and the checkpoint
+    carries the running buffers (reference main_C_TUNet.py:193-194)."""
+    from hybrid_ctunet_tpu.cli.train_main import main
+    from hybrid_ctunet_tpu.data.synthetic import write_synthetic_dataset
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    json_path = write_synthetic_dataset(data_dir, n_train=2, n_val=1, shape=(64, 64, 32))
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        best = main(
+            "c_tunet",
+            [
+                "--model_name=cunet",
+                "--model_depths=50",
+                "--norm_name=batch",
+                f"--data_dir={data_dir}",
+                f"--json_list={os.path.basename(json_path)}",
+                "--max_epochs=1",
+                "--val_every=1",
+                "--warmup_epochs=1",
+                "--roi_x=32", "--roi_y=32", "--roi_z=16",
+                # 14 classes: the synthetic labels span 0..13 — a smaller
+                # out_channels leaves out-of-range labels whose one-hot rows
+                # are all-zero and the train loss goes NaN (torch/MONAI
+                # would hard-error on the same config)
+                "--out_channels=14",
+                "--save_checkpoint",
+                "--noamp",
+                "--logdir=smoke_bn",
+            ],
+        )
+    finally:
+        os.chdir(cwd)
+    assert "acc" in best
+    assert os.path.exists(tmp_path / "runs" / "smoke_bn" / "scalars.jsonl")

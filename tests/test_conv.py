@@ -452,3 +452,65 @@ def test_transp_pallas_hook_outranks_native(monkeypatch):
     w = jnp.zeros((2, 2, 2, 8, 4), jnp.float32)
     with pytest.raises(Sentinel):
         conv_mod.conv_transpose3d_same(x, w, (2, 2, 2), fold_out=True)
+
+
+def test_altfold4_shift_helpers_roundtrip():
+    """shift_fold_a2s / s2a are inverse re-groupings (modulo the zero edge
+    planes a2s introduces)."""
+    from hybrid_ctunet_tpu.ops.conv import shift_fold_a2s, shift_fold_s2a
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 3, 3, 4, 8)),
+                    jnp.float32)
+    s = shift_fold_a2s(x)
+    assert s.shape == (2, 3, 3, 5, 8)
+    # edge half-slots are zero (virtual planes)
+    np.testing.assert_array_equal(np.asarray(s[:, :, :, 0, :4]), 0.0)
+    np.testing.assert_array_equal(np.asarray(s[:, :, :, -1, 4:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(shift_fold_s2a(s)), np.asarray(x))
+
+
+def test_altfold4_kernel_f4_conv_equivalence():
+    """factor-4 shifted-fold conv (a2s pad (1,1), s2a pad (0,0)) reproduces
+    the plain 3^3 SAME conv exactly (fp32 CPU) — the ALTFOLD4 stage-1
+    formulation's core identity (12/32 live blocks, 37.5% useful MACs)."""
+    from jax import lax
+
+    from hybrid_ctunet_tpu.ops.conv import (
+        altfold_kernel, conv3d_same, fold_z, odd_edge_mask, shift_fold_a2s,
+        shift_fold_s2a, unfold_z,
+    )
+
+    f = 4
+    g = np.random.default_rng(1)
+    x = jnp.asarray(g.standard_normal((1, 5, 5, 8, 3)), jnp.float32)
+    w = jnp.asarray(g.standard_normal((3, 3, 3, 3, 2)), jnp.float32)
+    wk = altfold_kernel(w, factor=f)
+    assert wk.shape == (3, 3, 2, 12, 8)
+    # 12 of 32 (kzf, a, b) blocks live
+    live = sum(
+        bool(jnp.any(wk[:, :, kf, a * 3:(a + 1) * 3, b * 2:(b + 1) * 2] != 0))
+        for kf in (0, 1) for a in range(4) for b in range(4)
+    )
+    assert live == 12
+
+    def conv(xx, ww, pads):
+        dn = lax.conv_dimension_numbers(xx.shape, ww.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        return lax.conv_general_dilated(xx, ww, (1, 1, 1), pads, dimension_numbers=dn)
+
+    ref = conv3d_same(x, w, 1)
+    # a2s: aligned fold in -> shifted out; realign via s2a regroup of the
+    # SHIFTED result only works plane-wise, so compare through the inverse
+    # conv direction instead: a2s output slots q hold planes 4q-2..4q+1.
+    xf = fold_z(x, f)
+    y_s = conv(xf, wk, [(1, 1), (1, 1), (1, 1)])  # (1,5,5,3,8) shifted
+    # assemble planes from the shifted layout: drop virtual edge planes
+    B, X, Y, Zf1, Cf = y_s.shape
+    planes = y_s.reshape(B, X, Y, Zf1 * f, Cf // f)[:, :, :, f // 2 : f // 2 + 8, :]
+    np.testing.assert_allclose(np.asarray(planes), np.asarray(ref), atol=1e-4)
+
+    # s2a: shifted in (zero edge half-slots) -> aligned out
+    x_s = shift_fold_a2s(fold_z(x, f))
+    y_a = conv(x_s, wk, [(1, 1), (1, 1), (0, 0)])
+    np.testing.assert_allclose(
+        np.asarray(unfold_z(y_a, f)), np.asarray(ref), atol=1e-4
+    )

@@ -143,7 +143,7 @@ def test_grad_accum_dropout_uses_distinct_microbatch_masks(rng):
     m = TUNet(dropout_rate=0.5, **TINY)
     state = create_train_state(m, jax.random.PRNGKey(0), x[:1])
     key = jax.random.PRNGKey(7)
-    _, _, g_acc = compute_grads(
+    _, _, g_acc, _ = compute_grads(
         LOSS_FNS["tunet"], state, x, label, smooth_nr=0.0, smooth_dr=1e-6,
         grad_accum=2, dropout_rng=key,
     )
@@ -152,7 +152,7 @@ def test_grad_accum_dropout_uses_distinct_microbatch_masks(rng):
     # identical inputs would coincide. Use duplicated inputs to detect reuse.
     x_dup = jnp.concatenate([x[:1], x[:1]], axis=0)
     lb_dup = jnp.concatenate([label[:1], label[:1]], axis=0)
-    _, _, g_dup = compute_grads(
+    _, _, g_dup, _ = compute_grads(
         LOSS_FNS["tunet"], state, x_dup, lb_dup, smooth_nr=0.0, smooth_dr=1e-6,
         grad_accum=2, dropout_rng=key,
     )
@@ -160,7 +160,7 @@ def test_grad_accum_dropout_uses_distinct_microbatch_masks(rng):
     # duplicated-input accum grads must equal the mean of the two single runs
     singles = []
     for i in range(2):
-        _, _, g = compute_grads(
+        _, _, g, _ = compute_grads(
             LOSS_FNS["tunet"], state, x[:1], label[:1], smooth_nr=0.0, smooth_dr=1e-6,
             grad_accum=1, dropout_rng=jax.random.fold_in(key, i),
         )

@@ -66,16 +66,43 @@ def _walk(jaxpr, scale: int, acc: dict, scope: str):
 
     Sub-jaxpr name stacks are relative to their enclosing eqn (a scan body's
     stacks don't repeat the model prefix), so the parent label is prepended.
+
+    Higher-order control flow: ``scan`` multiplies by its static length;
+    ``cond`` counts only its LARGEST branch (exactly one runs — summing all
+    branches would overcount); ``while`` has no static trip count, so its
+    body is counted ONCE and a warning is emitted (the published MFU would
+    be an underestimate if a real while-loop ever appears in the forward —
+    none does today; the model scans are lax.scan).
     """
+    name = None
     for eqn in jaxpr.eqns:
         stack = str(eqn.source_info.name_stack)
         label = "/".join(p for p in (scope, stack) if p)
         f = _eqn_flops(eqn)
         if f:
             acc[label or "(top)"] += f * scale
+        name = eqn.primitive.name
+        if name == "cond":
+            branch_totals = []
+            for j in _jaxprs_of(eqn.params.get("branches", ())):
+                branch_acc: dict = defaultdict(int)
+                _walk(j, scale, branch_acc, label)
+                branch_totals.append(branch_acc)
+            if branch_totals:
+                best = max(branch_totals, key=lambda a: sum(a.values()))
+                for k, v in best.items():
+                    acc[k] += v
+            continue
         sub_scale = scale
-        if eqn.primitive.name == "scan":
+        if name == "scan":
             sub_scale = scale * int(eqn.params["length"])
+        elif name == "while":
+            print(
+                f"WARNING: while-loop at {label or '(top)'} has no static "
+                "trip count; its body FLOPs are counted once (MFU may be "
+                "underestimated)",
+                file=sys.stderr,
+            )
         for v in eqn.params.values():
             for j in _jaxprs_of(v):
                 _walk(j, sub_scale, acc, label)
