@@ -173,11 +173,16 @@ _DEFAULTS = {
     "ALTFOLD_CH": ("64", int),
     # ResNet stage-1 alternating SHIFTED-quad fold (models/resnet3d.py
     # _ShiftBottleneck): conv2 runs as the (3,3,2) half-fold-shifted factor-4
-    # kernel — 37.5% useful MACs vs 25% for the aligned factor-4 fold
-    # (1.21x standalone, tools/probe_altfold4.py). Blocks alternate a2s/s2a
-    # so the stage's I/O stays the aligned fold; residual re-grouping rides
-    # the add epilogue as shifted reads. NOTE: changes the stage-1 tail
-    # param-tree layout (pair scan) — checkpoints are layout-specific.
+    # kernel — 37.5% useful MACs vs 25% for the aligned factor-4 fold.
+    # Measured round 5 (tools/probe_altfold4.py, v5e): conv2 ALONE wins
+    # standalone 2.91 -> 2.40 ms, but the full bottleneck-PAIR chain LOSES
+    # 10.53 -> 14.21 ms (0.74x): the masked folded-IN passes (count
+    # overrides for the virtual edge half-slots) and the shifted-residual
+    # regroup reads repay the conv2 saving 2.4x over (the odd 25-slot
+    # extent itself measures free). Default OFF — kept as a gated,
+    # op-tested negative (fp32-exact chain, tests/test_conv.py). NOTE:
+    # changes the stage-1 tail param-tree layout (pair scan) — checkpoints
+    # are layout-specific.
     "ALTFOLD4": ("0", str),
     # sub-variants of the altfold block (A/B gates; see ResBlock):
     # MASKF: fuse the odd edge mask into the IN reduce+normalize passes —
@@ -226,14 +231,16 @@ _DEFAULTS = {
     # i+1's sliding-window chunks while a single worker thread fetches,
     # inverts (scipy resample) and scores case i. Identical outputs by
     # construction (pure reordering of host work; tested); depth-1 bounded,
-    # so at most two cases' canvases are in flight. Default OFF: measured a
-    # 16% LOSS on the 1-core v5e host (tools/ab_eval_overlap.py, 4 cases:
-    # 237.5/252.8 s overlapped vs 205.0 s serial, rows bit-identical) — the
-    # python dispatch loop saturates the single core, so the worker thread
-    # steals dispatch time instead of filling idle time (same failure mode
-    # as the r3 ensemble-interleave experiment). Enable on multi-core eval
-    # hosts, where the invert/metrics work rides a spare core.
-    "EVAL_OVERLAP": ("0", str),
+    # so at most two cases' canvases are in flight. Default ON (round 5):
+    # re-measured a 14-18% WIN twice (tools/ab_eval_overlap.py, 4 cases:
+    # 186.3 vs 227.9 s, then 199.7 vs 233.0 s; rows bit-identical both
+    # runs), consistent with the round-5 dispatch measurement — host
+    # dispatch is only 7-8% of a volume pass (tools/probe_dispatch.py), so
+    # the worker's invert/metric work fills genuinely idle host time. The
+    # round-4 16% loss (237.5/252.8 vs 205.0 s) does not reproduce under
+    # round-5 code; treat single-run eval timings on this host with ~10%
+    # suspicion either way.
+    "EVAL_OVERLAP": ("1", str),
     # in-kernel erf: "as26" (exp-based, err 4.4e-7) | "r16" (no exp, 1.6e-6).
     # Measured NEUTRAL end-to-end (ab_flags_model: 157.4/356.7 vs
     # 157.3/356.3) — Mosaic hides the exp under the MXU dots; default stays

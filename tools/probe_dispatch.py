@@ -63,7 +63,7 @@ def main():
     # warm every program
     for eng, p in ((eng_ct, ct_params), (eng_tu, tu_params)):
         (m,) = eng(volume, p)
-        float(m[0, 0, 0, 0])
+        float(m[0, 0, 0, 0, 0])
 
     for name, eng, p in (("CTUNet ov0.5 (50 win)", eng_ct, ct_params),
                          ("TUNet  ov0.7 (147 win)", eng_tu, tu_params)):
@@ -72,7 +72,7 @@ def main():
             t0 = time.time()
             (m,) = eng(volume, p)
             t1 = time.time()
-            float(m[0, 0, 0, 0])
+            float(m[0, 0, 0, 0, 0])
             t2 = time.time()
             disp.append(t1 - t0)
             tot.append(t2 - t0)
