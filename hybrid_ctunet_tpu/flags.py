@@ -210,8 +210,11 @@ _DEFAULTS = {
     "WINOGRAD": ("0", str),
     "WINOGRAD_CH": ("32", str),
     "WINOGRAD_TY": ("0", int),
-    # kernel tile knobs
-    "ATTN_TB": ("4", int),
+    # kernel tile knobs. ATTN_TB (window-attention kernel batch tile):
+    # round-5 re-sweep found 2 a small consistent win over the round-2
+    # default 4 (two order-independent A/B pairs: TUNet 128.5-128.8 ->
+    # 127.6-128.0 ms, CTUNet 308.2-308.7 -> 307.3-307.7); 8 loses.
+    "ATTN_TB": ("2", int),
     "FFN_TN": ("", str),  # "" = auto-pick per shape
     # hidden-dim streaming chunk in the FFN kernel. 128 measured best in the
     # round-4 sweep (tools/ab_flags_model.py, order-independent, two runs):

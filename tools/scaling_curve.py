@@ -90,12 +90,12 @@ def main():
                 predictor, shape, mesh=mesh, strategy="loop", **kw
             )
             (out,) = eng(vol, params)  # compile
-            float(out[0, 0, 0, 0])
+            float(out[0, 0, 0, 0, 0])
             reps = 3
             t0 = time.time()
             for _ in range(reps):
                 (out,) = eng(vol, params)
-                float(out[0, 0, 0, 0])
+                float(out[0, 0, 0, 0, 0])
             dt = (time.time() - t0) / reps
             # window grid: 3x3x2 = 18 at these sizes (true count from engine)
             _, _, _, starts, _, _, _ = eng._plan(vol.shape[1:4], 1)
