@@ -85,19 +85,30 @@ def test_pipeline_cases_order_equivalence_and_errors():
             _pipeline_cases(cases, lambda c: c * 10, bad)
 
 
-def test_norm_name_batch_fails_loudly():
-    """The reference switches every conv block to BatchNorm under
-    --norm_name batch (hybrid_CTUNet.py:85-87) + SyncBatchNorm under DDP
-    (main_C_TUNet.py:193-194). This framework implements the instance-norm
-    configuration only — asking for anything else must fail loudly (same
-    policy as --resume_jit), never silently substitute instance norm."""
+def test_norm_name_dispatch():
+    """--norm_name batch builds a BatchNorm model (round 5 — the reference
+    switches every conv block to BatchNorm, hybrid_CTUNet.py:85-87, and to
+    SyncBatchNorm under DDP, main_C_TUNet.py:193-194); unsupported values
+    still fail loudly, never silently substitute instance norm."""
     from hybrid_ctunet_tpu.cli.factory import build_model
 
     args = build_train_parser("c_tunet").parse_args(
         ["--model_name=cunet", "--norm_name=batch"]
     )
+    model = build_model(args)
+    assert model.norm_name == "batch"
+    # --distributed upgrades to SyncBatchNorm (moments pmean over the data
+    # mesh axis)
+    args_dist = build_train_parser("c_tunet").parse_args(
+        ["--model_name=cunet", "--norm_name=batch", "--distributed"]
+    )
+    assert build_model(args_dist).norm_name == "batch:data"
+    # unsupported values exit loudly
+    bad = build_train_parser("c_tunet").parse_args(
+        ["--model_name=cunet", "--norm_name=group"]
+    )
     with pytest.raises(SystemExit, match="norm_name"):
-        build_model(args)
+        build_model(bad)
     # the default ('instance') still builds
     ok = build_train_parser("c_tunet").parse_args(["--model_name=cunet"])
     assert build_model(ok) is not None
